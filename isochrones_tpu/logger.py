@@ -1,0 +1,17 @@
+"""Logging for isochrones-tpu (reference: ``isochrones/logger.py:7-27``)."""
+
+import logging
+
+_logger = None
+
+
+def getLogger(name="isochrones_tpu"):
+    global _logger
+    if _logger is None:
+        _logger = logging.getLogger(name)
+        if not _logger.handlers:
+            handler = logging.StreamHandler()
+            handler.setFormatter(logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
+            _logger.addHandler(handler)
+            _logger.setLevel(logging.INFO)
+    return _logger

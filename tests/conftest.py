@@ -1,0 +1,22 @@
+"""Test configuration: CPU backend with 8 virtual devices (multi-chip sharding
+tests run on a virtual mesh) and float64 enabled for high-precision parity
+tests against the reference semantics.
+
+NOTE: jax may already be imported at interpreter startup in this environment
+(site hook), so env vars alone are too late — we set the platform through
+jax.config, which works as long as the backend hasn't been initialized yet.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
