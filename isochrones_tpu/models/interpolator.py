@@ -1,0 +1,457 @@
+"""User-facing interpolator API (L2).
+
+Rebuild of ``isochrones/models.py:253-718`` (``ModelGridInterpolator``,
+``EvolutionTrackInterpolator``, ``IsochroneInterpolator``): joins one stellar
+model grid with one bolometric-correction grid and exposes property
+interpolation, synthetic magnitudes, EEP inversion, and forward generation.
+
+TPU-first differences from the reference:
+* the hot paths (`interp_value`, `interp_mag`, `get_eep`, `generate`) are
+  batched jitted functions over device-resident :class:`GridData` pytrees —
+  one call handles any batch shape (the reference dispatches scalar-vs-loop
+  per point, models.py:402-445);
+* "accurate" EEP inversion is a vmapped autodiff-Newton solve
+  (ops/eep.py) instead of per-scalar scipy Nelder-Mead (models.py:544-578);
+* host conveniences (DataFrame assembly) wrap the jitted core.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.eep import get_eep_newton, interp_eep
+from ..ops.interp import GridData, interp_nd
+from ..ops.mags import interp_mag as _interp_mag_kernel
+from ..utils import addmags
+
+__all__ = [
+    "ModelGridInterpolator",
+    "EvolutionTrackInterpolator",
+    "IsochroneInterpolator",
+]
+
+
+def _broadcast_pars(pars, n):
+    arrs = [np.asarray(p, dtype=float) for p in pars[:n]]
+    b = np.broadcast(*arrs)
+    scalar = b.ndim == 0
+    stacked = np.stack([np.broadcast_to(a, b.shape).reshape(-1) for a in arrs], axis=-1)
+    return jnp.asarray(stacked), scalar, b.shape
+
+
+class ModelGridInterpolator:
+    """Base interpolator joining a model grid and a BC grid.
+
+    Parameters are given in *user order* (``param_names``); the static
+    ``_param_index_order`` permutation maps them to grid-axis order
+    (reference models.py:259).
+    """
+
+    param_names: Tuple[str, ...] = ("p0", "p1", "p2", "distance", "AV")
+    eep_replaces: Optional[str] = None
+    _param_index_order: Tuple[int, ...] = (1, 2, 0, 3, 4)
+    name = "model"
+
+    def __init__(self, model: GridData, bc: GridData, bands: Optional[Sequence[str]] = None, eep_support=None):
+        self.model = model
+        self.bc = bc
+        self.bands = list(bands) if bands is not None else list(bc.columns)
+        self.param_index_order = list(self._param_index_order)
+        # (feh_knots, mass_knots, age_arrays(+inf padded), lengths) for fast EEP inversion
+        self.eep_support = eep_support
+
+        ci = model.column_index
+        self._model_icols = (ci["Teff"], ci["logg"], ci["feh"], ci["Mbol"])
+        bci = bc.column_index
+        self._band_icols = tuple(bci[b] for b in self.bands)
+        self._limits_cache = {}
+
+    # ------------------------------------------------------------------ limits
+    def get_limits(self, prop):
+        """Axis/value ranges (reference grid.py:58, models.py:276-305)."""
+        if prop in self._limits_cache:
+            return self._limits_cache[prop]
+        axis_names = self._axis_names()
+        if prop in axis_names:
+            k = np.asarray(self.model.knots[axis_names.index(prop)])
+            lim = (float(k[0]), float(k[-1]))
+        else:
+            icol = self.model.column_index[prop]
+            col = np.asarray(self.model.values[..., icol])
+            lim = (float(np.nanmin(col)), float(np.nanmax(col)))
+        self._limits_cache[prop] = lim
+        return lim
+
+    def _axis_names(self):
+        raise NotImplementedError
+
+    @property
+    def eep_bounds(self):
+        return self.get_limits("eep")
+
+    @property
+    def minfeh(self):
+        return self.get_limits("feh")[0]
+
+    @property
+    def maxfeh(self):
+        return self.get_limits("feh")[1]
+
+    @property
+    def mineep(self):
+        return self.get_limits("eep")[0]
+
+    @property
+    def maxeep(self):
+        return self.get_limits("eep")[1]
+
+    @property
+    def minage(self):
+        return self.get_limits("age")[0]
+
+    @property
+    def maxage(self):
+        return self.get_limits("age")[1]
+
+    @property
+    def minmass(self):
+        return self.get_limits("mass")[0]
+
+    @property
+    def maxmass(self):
+        return self.get_limits("mass")[1]
+
+    @property
+    def fehs(self):
+        ax = self._axis_names()
+        return np.asarray(self.model.knots[ax.index("feh")])
+
+    # -------------------------------------------------------------- core jit fns
+    @partial(jax.jit, static_argnames=("self", "icols"))
+    def _interp_value_jit(self, points, icols):
+        io = self._param_index_order
+        grid_pts = jnp.stack([points[..., io[0]], points[..., io[1]], points[..., io[2]]], axis=-1)
+        return interp_nd(self.model.values, self.model.knots, grid_pts, icols=icols)
+
+    @partial(jax.jit, static_argnames=("self", "band_icols"))
+    def _interp_mag_jit(self, points, band_icols):
+        return _interp_mag_kernel(
+            points, self._param_index_order, self.model, self._model_icols, self.bc, band_icols
+        )
+
+    def interp_value_batch(self, points: jnp.ndarray, props=None) -> jnp.ndarray:
+        """Jittable: (..., >=3) user-order params -> (..., n_props)."""
+        icols = self.model.icols(props)
+        return self._interp_value_jit(points, icols)
+
+    def interp_mag_batch(self, points: jnp.ndarray, bands=None):
+        """Jittable: (..., 5) user-order params -> (Teff, logg, feh, mags)."""
+        band_icols = self._band_icols if bands is None else tuple(self.bc.column_index[b] for b in bands)
+        return self._interp_mag_jit(points, band_icols)
+
+    # --------------------------------------------------------------- host wrappers
+    def interp_value(self, pars, props=None):
+        """reference: models.py:390-400"""
+        points, scalar, shape = _broadcast_pars(pars, 3)
+        out = np.asarray(self.interp_value_batch(points, props))
+        if scalar:
+            return out[0]
+        return out.reshape(shape + (out.shape[-1],))
+
+    def interp_mag(self, pars, bands=None):
+        """reference: models.py:402-445; returns (Teff, logg, feh, mags)."""
+        points, scalar, shape = _broadcast_pars(pars, 5)
+        Teff, logg, feh, mags = self.interp_mag_batch(points, bands)
+        Teff, logg, feh, mags = (np.asarray(x) for x in (Teff, logg, feh, mags))
+        if scalar:
+            return float(Teff[0]), float(logg[0]), float(feh[0]), mags[0]
+        return (
+            Teff.reshape(shape),
+            logg.reshape(shape),
+            feh.reshape(shape),
+            mags.reshape(shape + (mags.shape[-1],)),
+        )
+
+    def _prop(self, prop, *pars):
+        out = self.interp_value(list(pars), [prop])
+        return out.squeeze(-1) if out.ndim else float(np.asarray(out).squeeze())
+
+    def mass(self, *pars):
+        return self._prop("mass", *pars)
+
+    def initial_mass(self, *pars):
+        return self._prop("initial_mass", *pars)
+
+    def radius(self, *pars):
+        return self._prop("radius", *pars)
+
+    def Teff(self, *pars):
+        return self._prop("Teff", *pars)
+
+    def logg(self, *pars):
+        return self._prop("logg", *pars)
+
+    def feh(self, *pars):
+        return self._prop("feh", *pars)
+
+    def density(self, *pars):
+        return self._prop("density", *pars)
+
+    def nu_max(self, *pars):
+        return self._prop("nu_max", *pars)
+
+    def delta_nu(self, *pars):
+        return self._prop("delta_nu", *pars)
+
+    def initialize(self, pars=None):
+        """Warm-up compile + sanity check (reference models.py:349-358)."""
+        if pars is None:
+            if self.eep_replaces == "age":
+                pars = [1.04, 150.0, -0.35, 1000.0, 0.2]
+            else:
+                pars = [150.0, 9.7, -0.35, 1000.0, 0.2]
+        Teff, logg, feh, mags = self.interp_mag(pars, self.bands)
+        assert np.isfinite([Teff, logg, feh]).all(), (Teff, logg, feh)
+        assert np.isfinite(mags).all(), mags
+
+    # ------------------------------------------------------------------ EEP
+    def max_eep(self, mass, feh):
+        if self.eep_support is None:
+            return self.maxeep
+        feh_knots, mass_knots, age_arrays, lengths = self.eep_support
+        i_f = int(np.clip(np.searchsorted(np.asarray(feh_knots), feh) - 1, 0, len(np.asarray(feh_knots)) - 1))
+        i_m = int(np.clip(np.searchsorted(np.asarray(mass_knots), mass) - 1, 0, len(np.asarray(mass_knots)) - 1))
+        n_mass = len(np.asarray(mass_knots))
+        return float(np.asarray(lengths)[i_f * n_mass + i_m])
+
+    def get_eep_batch(self, mass, age, feh, accurate=False, resid_tol=0.02):
+        """Jittable batched EEP inversion. Track grids only for the fast path
+        (reference models.py:501-542)."""
+        mass = jnp.asarray(mass)
+        age = jnp.asarray(age)
+        feh = jnp.asarray(feh)
+        if self.eep_replaces == "age":
+            if self.eep_support is None:
+                raise ValueError("No EEP support arrays on this grid")
+            feh_knots, mass_knots, age_arrays, lengths = self.eep_support
+            eep0 = float(np.asarray(self.model.knots[-1])[0])
+            fast = interp_eep(age, feh, mass, feh_knots, mass_knots, age_arrays, lengths, eep0=eep0)
+            if not accurate:
+                return fast
+            i_age = self.model.column_index["age"]
+            eep, resid = get_eep_newton(self.model, fast, age, feh, mass, i_age)
+            return jnp.where(jnp.abs(resid) < resid_tol, eep, jnp.nan)
+        elif self.eep_replaces == "mass":
+            if not accurate:
+                raise NotImplementedError("Fast EEP inversion not implemented for isochrone grids (as in reference)")
+            i_mass = self.model.column_index["initial_mass"]
+            seed = jnp.full(jnp.broadcast_shapes(mass.shape, age.shape, feh.shape), 300.0, dtype=mass.dtype)
+            eep, resid = get_eep_newton(self.model, seed, mass, age, feh, i_mass)
+            return jnp.where(jnp.abs(resid) < resid_tol, eep, jnp.nan)
+
+    def get_eep(self, mass, age, feh, accurate=False, **kwargs):
+        b = np.broadcast(np.asarray(mass, dtype=float), np.asarray(age, dtype=float), np.asarray(feh, dtype=float))
+        scalar = b.ndim == 0
+        m, a, f = (jnp.asarray(np.broadcast_to(np.asarray(x, dtype=float), b.shape).reshape(-1)) for x in (mass, age, feh))
+        out = np.asarray(self.get_eep_batch(m, a, f, accurate=accurate))
+        if scalar:
+            return float(out[0])
+        return out.reshape(b.shape)
+
+    def get_eep_accurate(self, mass, age, feh, **kwargs):
+        return self.get_eep(mass, age, feh, accurate=True, **kwargs)
+
+    # ------------------------------------------------------------- generation
+    def generate(
+        self,
+        mass,
+        age,
+        feh,
+        props="all",
+        bands=None,
+        eeps=None,
+        return_df=True,
+        return_dict=False,
+        distance=10.0,
+        AV=0.0,
+        all_As=False,
+        accurate=False,
+        **kwargs,
+    ):
+        """Forward model: (mass, age, feh) -> properties + apparent mags
+        (reference models.py:580-631)."""
+        import pandas as pd
+
+        if self.eep_replaces == "mass":
+            return self.track.generate(
+                mass, age, feh, props=props, bands=bands, eeps=eeps, return_df=return_df,
+                return_dict=return_dict, distance=distance, AV=AV, all_As=all_As, accurate=accurate, **kwargs
+            )
+
+        bands = self.bands if bands is None else list(bands)
+        b = np.broadcast(*[np.asarray(x, dtype=float) for x in (mass, age, feh, distance, AV)])
+        shape = b.shape if b.ndim else (1,)
+        mass_, age_, feh_, dist_, av_ = (
+            np.broadcast_to(np.asarray(x, dtype=float), shape).reshape(-1) for x in (mass, age, feh, distance, AV)
+        )
+        if eeps is None:
+            eeps_ = np.asarray(
+                self.get_eep_batch(jnp.asarray(mass_), jnp.asarray(age_), jnp.asarray(feh_), accurate=accurate)
+            )
+        else:
+            eeps_ = np.broadcast_to(np.asarray(eeps, dtype=float), shape).reshape(-1)
+
+        prop_names = list(self.model.columns) if props == "all" else list(props)
+        pts5 = jnp.asarray(np.stack([mass_, eeps_, feh_, dist_, av_], axis=-1))
+        values = np.asarray(self.interp_value_batch(pts5, prop_names))
+        _, _, _, mags = self.interp_mag_batch(pts5, bands)
+        mags = np.asarray(mags)
+
+        columns = prop_names + [f"{b_}_mag" for b_ in bands]
+        data = np.concatenate([values, mags], axis=-1)
+        df = pd.DataFrame(data, columns=columns)
+        df["distance"] = dist_
+        df["AV"] = av_
+        df["initial_feh"] = feh_
+        df["requested_age"] = age_
+
+        if all_As:
+            pts0 = jnp.asarray(np.stack([mass_, eeps_, feh_, dist_, np.zeros_like(av_)], axis=-1))
+            _, _, _, true_mags = self.interp_mag_batch(pts0, bands)
+            true_mags = np.asarray(true_mags)
+            for i, b_ in enumerate(bands):
+                df[f"A_{b_}"] = df[f"{b_}_mag"] - true_mags[:, i]
+
+        if return_dict:
+            return {c: df[c].values for c in df.columns}
+        return df
+
+    def generate_binary(self, mass_A, mass_B, age, feh, **kwargs):
+        """reference: models.py:633-661"""
+        import pandas as pd
+
+        bands = kwargs.get("bands", None) or self.bands
+        mass_A, mass_B = np.broadcast_arrays(np.asarray(mass_A, dtype=float), np.asarray(mass_B, dtype=float))
+
+        values_A = self.generate(mass_A, age, feh, **kwargs)
+        values_B = self.generate(mass_B, age, feh, **kwargs)
+
+        values = pd.concat(
+            [
+                values_A.rename(columns={c: f"{c}_0" for c in values_A.columns}),
+                values_B.rename(columns={c: f"{c}_1" for c in values_B.columns}),
+            ],
+            axis=1,
+        )
+        for b in bands:
+            m0 = values_A[f"{b}_mag"].values
+            m1 = np.nan_to_num(values_B[f"{b}_mag"].values, nan=np.inf)
+            values[f"{b}_mag"] = addmags(m0, m1)
+            if kwargs.get("all_As", False):
+                A0 = values[f"A_{b}_0"].values
+                A1 = np.nan_to_num(values[f"A_{b}_1"].values, nan=0.0)
+                values[f"A_{b}"] = values[f"{b}_mag"] - addmags(m0 - A0, m1 - A1)
+        return values
+
+    def __call__(self, p1, p2, p3, distance=10.0, AV=0.0):
+        """Full property+mag table at given params (reference models.py:471-482)."""
+        import pandas as pd
+
+        b = np.broadcast(*[np.asarray(x, dtype=float) for x in (p1, p2, p3, distance, AV)])
+        shape = b.shape if b.ndim else (1,)
+        cols = list(self.model.columns)
+        arrs = [np.broadcast_to(np.asarray(x, dtype=float), shape).reshape(-1) for x in (p1, p2, p3, distance, AV)]
+        pts = jnp.asarray(np.stack(arrs, axis=-1))
+        props = np.asarray(self.interp_value_batch(pts, cols))
+        _, _, _, mags = self.interp_mag_batch(pts, None)
+        values = np.concatenate([props, np.asarray(mags)], axis=1)
+        return pd.DataFrame(values, columns=cols + [f"{b_}_mag" for b_ in self.bands])
+
+    def isochrone(self, age, feh=0.0, eep_range=None, distance=10.0, AV=0.0, dropna=True):
+        """reference: models.py:484-493"""
+        if eep_range is None:
+            eep_range = self.get_limits("eep")
+        eeps = np.arange(*eep_range)
+        df = self(eeps, age, feh, distance=distance, AV=AV)
+        return df.dropna() if dropna else df
+
+    def model_value(self, mass, age, feh, props, approx=False):
+        if isinstance(props, str):
+            props = [props]
+        eep = self.get_eep(mass, age, feh, accurate=not approx)
+        values = self.interp_value([mass, eep, feh], props)
+        return float(np.squeeze(values)) if np.size(values) == 1 else values
+
+    def model_mag(self, mass, age, feh, distance=10.0, AV=0.0, bands=None, approx=False):
+        if self.eep_replaces == "mass":
+            return self.track.model_mag(mass, age, feh, distance=distance, AV=AV, bands=bands, approx=approx)
+        bands = bands or self.bands
+        eep = self.get_eep(mass, age, feh, accurate=not approx)
+        _, _, _, mags = self.interp_mag([mass, eep, feh, distance, AV], bands)
+        return float(np.squeeze(mags)) if np.size(mags) == 1 else mags
+
+    def mass_age_resid(self, *args, **kwargs):
+        raise NotImplementedError
+
+
+class EvolutionTrackInterpolator(ModelGridInterpolator):
+    """Params (mass, eep, feh, distance, AV); grid axes (feh, mass, eep)
+    (reference models.py:664-688)."""
+
+    param_names = ("mass", "eep", "feh", "distance", "AV")
+    eep_replaces = "age"
+    _param_index_order = (2, 0, 1, 3, 4)
+    name = "track"
+
+    def __init__(self, *args, iso=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._iso = iso
+
+    def _axis_names(self):
+        return ["feh", "mass", "eep"]
+
+    @property
+    def iso(self):
+        return self._iso
+
+    def mass_age_resid(self, eep, mass, age, feh):
+        age_interp = self.interp_value([mass, eep, feh], ["age"])
+        return float((age - age_interp) ** 2)
+
+    @property
+    def masses(self):
+        return np.asarray(self.model.knots[1])
+
+
+class IsochroneInterpolator(ModelGridInterpolator):
+    """Params (eep, age, feh, distance, AV); grid axes (age, feh, eep)
+    (reference models.py:691-718)."""
+
+    param_names = ("eep", "age", "feh", "distance", "AV")
+    eep_replaces = "mass"
+    _param_index_order = (1, 2, 0, 3, 4)
+    name = "iso"
+
+    def __init__(self, *args, track=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._track = track
+
+    def _axis_names(self):
+        return ["age", "feh", "eep"]
+
+    @property
+    def track(self):
+        return self._track
+
+    def mass_age_resid(self, eep, mass, age, feh):
+        mass_interp = self.interp_value([eep, age, feh], ["initial_mass"])
+        return float((mass - mass_interp) ** 2)
+
+    @property
+    def ages(self):
+        return np.asarray(self.model.knots[0])
