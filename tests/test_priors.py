@@ -1,0 +1,109 @@
+"""Statistical prior tests: integral ~= 1 and sampling-vs-pdf chi
+(the reference's per-prior test pattern, priors.py:74-104), plus host-vs-jax
+lnpdf consistency for every prior."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isochrones_tpu.priors import (
+    AgePrior,
+    AVPrior,
+    ChabrierPrior,
+    DistancePrior,
+    EEP_prior,
+    FehPrior,
+    FlatLogPrior,
+    FlatPrior,
+    GaussianPrior,
+    LogNormalPrior,
+    PowerLawPrior,
+    QPrior,
+    SalpeterPrior,
+    powerlaw_lnpdf,
+    powerlaw_pdf,
+)
+
+PRIORS = {
+    "age": AgePrior(),
+    "av": AVPrior(),
+    "chabrier": ChabrierPrior(),
+    "distance": DistancePrior(),
+    "feh": FehPrior(),
+    "flat": FlatPrior((1.0, 3.0)),
+    "flatlog": FlatLogPrior((1.0, 3.0)),
+    "gauss": GaussianPrior(0.5, 2.0, bounds=(-5, 5)),
+    "lognorm": LogNormalPrior(np.log(0.5), 1.1),
+    "powerlaw": PowerLawPrior(-1.7, (0.3, 5.0)),
+    "q": QPrior(),
+    "salpeter": SalpeterPrior(),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PRIORS))
+def test_integral(name):
+    PRIORS[name].test_integral()
+
+
+@pytest.mark.parametrize("name", sorted(PRIORS))
+def test_sampling(name):
+    PRIORS[name].test_sampling(n=100000, rng=np.random.default_rng(42))
+
+
+@pytest.mark.parametrize("name", sorted(PRIORS))
+def test_jax_host_consistency(name):
+    """lnpdf_jax must agree with host lnpdf inside the support."""
+    p = PRIORS[name]
+    lo, hi = p.bounds
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        s = p.sample(10000, rng=np.random.default_rng(0))
+        lo = max(lo, np.percentile(s, 1))
+        hi = min(hi, np.percentile(s, 99))
+    else:
+        lo, hi = lo + 1e-6, hi - 1e-6
+    xs = np.linspace(lo + 1e-9, hi, 50)
+    host = np.array([p.lnpdf(float(x)) for x in xs])
+    jaxv = np.asarray(p.lnpdf_jax(jnp.asarray(xs)))
+    np.testing.assert_allclose(jaxv, host, rtol=1e-8, atol=1e-10)
+
+
+def test_jax_out_of_bounds():
+    p = FlatPrior((0.0, 1.0))
+    out = np.asarray(p.lnpdf_jax(jnp.asarray([-0.5, 0.5, 1.5])))
+    assert out[0] == -np.inf and out[2] == -np.inf and np.isfinite(out[1])
+
+
+def test_powerlaw_kernels():
+    x = jnp.asarray([0.5, 1.0, 2.0])
+    pdf = np.asarray(powerlaw_pdf(x, -2.0, 0.1, 10.0))
+    lnpdf = np.asarray(powerlaw_lnpdf(x, -2.0, 0.1, 10.0))
+    np.testing.assert_allclose(np.log(pdf), lnpdf, rtol=1e-12)
+
+
+def test_bounds_renormalization():
+    p = FehPrior()
+    p.bounds = (-1.0, 0.5)
+    from scipy.integrate import quad
+
+    val = quad(p.pdf, -1.0, 0.5)[0]
+    assert val == pytest.approx(1.0, rel=1e-6)
+    # jax version renormalizes identically
+    assert float(p.lnpdf_jax(jnp.asarray(0.0))) == pytest.approx(p.lnpdf(0.0), rel=1e-10)
+
+
+def test_eep_prior():
+    from isochrones_tpu import get_ichrone
+
+    track = get_ichrone("synthetic", tracks=True)
+    prior = EEP_prior(track, AgePrior(), bounds=track.eep_bounds)
+    # in-bounds EEP on a live track: finite and equal between host and jax
+    val_host = prior.lnpdf(100.0, mass=1.0, feh=0.0)
+    val_jax = float(prior.lnpdf_jax(jnp.asarray(100.0), mass=jnp.asarray(1.0), feh=jnp.asarray(0.0)))
+    assert np.isfinite(val_host)
+    assert val_jax == pytest.approx(val_host, rel=1e-8)
+    # out of bounds -> -inf
+    assert prior.lnpdf(1e6, mass=1.0, feh=0.0) == -np.inf
+    # sampling returns in-bounds integer EEPs weighted by dt_deep * p(age)
+    samples = prior.sample(500, rng=0, mass=1.0, feh=0.0)
+    assert len(samples) == 500
+    assert (samples >= prior.bounds[0]).all() and (samples <= prior.bounds[1]).all()
