@@ -1,0 +1,122 @@
+"""On-device affine-invariant ensemble MCMC (Goodman & Weare 2010 stretch move).
+
+Replaces the reference's external ``emcee`` dependency
+(``isochrones/starmodel.py:886-972`` ``fit_mcmc``, ``isochrones/fit.py:9-170``
+emcee3 harness): the entire chain — proposal, accept/reject, thinned storage —
+runs inside one ``lax.scan`` on device, with the log-posterior vmapped across
+walkers. A whole fit never leaves the chip.
+
+Multi-chip: walkers shard trivially along the batch axis (see
+``isochrones_tpu.parallel``); the stretch move only needs the complementary
+half-ensemble, which lives on the same shard when walkers are interleaved.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["EnsembleState", "run_ensemble", "autocorr_time"]
+
+
+class EnsembleState(NamedTuple):
+    walkers: jnp.ndarray  # (n_walkers, n_params)
+    ln_prob: jnp.ndarray  # (n_walkers,)
+    key: jax.Array
+    n_accept: jnp.ndarray  # (n_walkers,) acceptance counts
+
+
+def _stretch_half(lnpost_v, active, passive, lnp_active, key, a=2.0):
+    """One stretch-move update of the active half against the passive half."""
+    n_act, n_dim = active.shape
+    k_z, k_pick, k_acc = jax.random.split(key, 3)
+    u = jax.random.uniform(k_z, (n_act,), dtype=active.dtype)
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    picks = jax.random.randint(k_pick, (n_act,), 0, passive.shape[0])
+    partners = passive[picks]
+    proposal = partners + z[:, None] * (active - partners)
+    lnp_prop = lnpost_v(proposal)
+    lnp_prop = jnp.where(jnp.isnan(lnp_prop), -jnp.inf, lnp_prop)
+    ln_ratio = (n_dim - 1.0) * jnp.log(z) + lnp_prop - lnp_active
+    accept = jnp.log(jax.random.uniform(k_acc, (n_act,), dtype=active.dtype)) < ln_ratio
+    new_active = jnp.where(accept[:, None], proposal, active)
+    new_lnp = jnp.where(accept, lnp_prop, lnp_active)
+    return new_active, new_lnp, accept
+
+
+@partial(jax.jit, static_argnames=("lnpost_v", "n_steps", "thin", "a"))
+def run_ensemble(
+    lnpost_v: Callable,
+    walkers0: jnp.ndarray,
+    key: jax.Array,
+    n_steps: int,
+    thin: int = 1,
+    a: float = 2.0,
+):
+    """Run the ensemble sampler for ``n_steps`` full-ensemble updates.
+
+    lnpost_v : vmapped log-posterior, (n, n_params) -> (n,)
+    walkers0 : (n_walkers, n_params) initial positions (n_walkers even)
+    Returns (chain (n_steps//thin, n_walkers, n_params),
+             ln_chain (n_steps//thin, n_walkers),
+             final EnsembleState).
+    """
+    n_walkers = walkers0.shape[0]
+    half = n_walkers // 2
+    lnp0 = lnpost_v(walkers0)
+    lnp0 = jnp.where(jnp.isnan(lnp0), -jnp.inf, lnp0)
+    state0 = EnsembleState(
+        walkers=walkers0, ln_prob=lnp0, key=key, n_accept=jnp.zeros(n_walkers, dtype=jnp.int32)
+    )
+
+    def one_step(state: EnsembleState, _):
+        key, k1, k2 = jax.random.split(state.key, 3)
+        w = state.walkers
+        lnp = state.ln_prob
+        first, second = w[:half], w[half:]
+        lnp1, lnp2 = lnp[:half], lnp[half:]
+
+        new_first, new_lnp1, acc1 = _stretch_half(lnpost_v, first, second, lnp1, k1, a=a)
+        new_second, new_lnp2, acc2 = _stretch_half(lnpost_v, second, new_first, lnp2, k2, a=a)
+
+        walkers = jnp.concatenate([new_first, new_second], axis=0)
+        ln_prob = jnp.concatenate([new_lnp1, new_lnp2], axis=0)
+        n_accept = state.n_accept + jnp.concatenate([acc1, acc2]).astype(jnp.int32)
+        new_state = EnsembleState(walkers=walkers, ln_prob=ln_prob, key=key, n_accept=n_accept)
+        return new_state, None
+
+    def thin_step(state, _):
+        state, _ = jax.lax.scan(one_step, state, None, length=thin)
+        return state, (state.walkers, state.ln_prob)
+
+    final, (chain, ln_chain) = jax.lax.scan(thin_step, state0, None, length=n_steps // thin)
+    return chain, ln_chain, final
+
+
+def autocorr_time(chain) -> jnp.ndarray:
+    """Integrated autocorrelation time per parameter (Sokal window heuristic,
+    same role as emcee's convergence criterion used at fit.py:100-140).
+
+    chain : (n_steps, n_walkers, n_params)
+    """
+    import numpy as np
+
+    x = np.asarray(chain)
+    n_steps, n_walkers, n_params = x.shape
+    taus = np.empty(n_params)
+    for p in range(n_params):
+        d = x[:, :, p] - x[:, :, p].mean(axis=0, keepdims=True)
+        # FFT autocorrelation averaged over walkers
+        n = 1 << (2 * n_steps - 1).bit_length()
+        f = np.fft.rfft(d, n=n, axis=0)
+        acf = np.fft.irfft(f * np.conj(f), n=n, axis=0)[:n_steps].mean(axis=1)
+        acf /= acf[0] if acf[0] != 0 else 1.0
+        # Sokal automatic windowing
+        tau = 2.0 * np.cumsum(acf) - 1.0
+        window = np.arange(len(tau)) < 5.0 * tau
+        idx = np.argmin(window) if not window.all() else len(tau) - 1
+        taus[p] = tau[max(idx, 1)]
+    return taus

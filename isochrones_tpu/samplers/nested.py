@@ -1,0 +1,205 @@
+"""On-device nested sampling.
+
+Replaces the reference's external Fortran MultiNest/PolyChord dependency
+(``isochrones/starmodel.py:717-819``: ``pymultinest.run`` with uniform
+unit-cube prior transform and lnpost as the NS likelihood). Same convention
+here: the sampler explores the unit cube, maps through a ``prior_transform``
+(bounds box, starmodel.py:1637-1640), and treats the model lnpost as the NS
+log-likelihood — so evidences and equal-weight posteriors are directly
+comparable to the reference's MultiNest outputs.
+
+Algorithm: classic single-removal nested sampling driven by one ``lax.scan``:
+each shrinkage replaces the worst live point with a constrained random walk
+(L > L*) started from a random survivor. The walk runs ``n_chains`` chains in
+parallel (vectorized likelihood fan-out — the role MPI plays for MultiNest,
+SURVEY §2.8) and picks one accepted result at random; the step scale adapts
+toward a target acceptance rate. Everything — shrinkage, walks, dead-point
+storage — stays on device; weights/evidence are assembled on host afterward.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["NestedResult", "run_nested"]
+
+
+class NestedResult(NamedTuple):
+    samples: np.ndarray  # (n_dead + n_live, n_params) in PARAMETER space
+    logl: np.ndarray  # (n_dead + n_live,)
+    logwt: np.ndarray  # (n_dead + n_live,) unnormalized ln(prior mass * L)
+    logz: float
+    logzerr: float
+    h: float  # information
+    n_iter: int
+    posterior: np.ndarray  # equal-weight posterior samples (n_eq, n_params)
+    logl_posterior: np.ndarray  # lnpost values for the equal-weight samples
+
+
+def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_chains, n_repeat):
+    """Random-walk exploration of {u : lnlike(u) > lnl_star} in the unit cube.
+
+    Runs n_chains chains from `start` points; returns one accepted sample
+    (random among chains that moved) plus the observed acceptance rate.
+    """
+    n_dim = start.shape[-1]
+
+    def step(carry, _):
+        key, x, lnl, n_acc = carry
+        key, k_prop, k_acc = jax.random.split(key, 3)
+        eps = jax.random.normal(k_prop, x.shape, dtype=x.dtype) * scale
+        prop = x + eps
+        # reflect at the cube boundary
+        prop = jnp.abs(prop)
+        prop = 1.0 - jnp.abs(1.0 - prop)
+        lnl_prop = lnlike_u(prop)
+        lnl_prop = jnp.where(jnp.isnan(lnl_prop), -jnp.inf, lnl_prop)
+        ok = lnl_prop > lnl_star
+        x = jnp.where(ok[:, None], prop, x)
+        lnl = jnp.where(ok, lnl_prop, lnl)
+        return (key, x, lnl, n_acc + ok.astype(jnp.int32)), None
+
+    (key, xf, lnlf, n_acc), _ = jax.lax.scan(
+        step, (key, start, lnl_start, jnp.zeros(n_chains, dtype=jnp.int32)), None, length=n_repeat
+    )
+    moved = n_acc > 0
+    # random pick among moved chains (fallback: chain 0 start point, a survivor)
+    key, k_pick = jax.random.split(key)
+    scores = jax.random.uniform(k_pick, (n_chains,)) + moved.astype(xf.dtype)
+    pick = jnp.argmax(scores)
+    accept_rate = jnp.sum(n_acc) / (n_chains * n_repeat)
+    return xf[pick], lnlf[pick], moved[pick], accept_rate
+
+
+@partial(jax.jit, static_argnames=("lnlike_u", "n_live", "n_iter", "n_chains", "n_repeat"))
+def _nested_core(lnlike_u, u0, lnl0, key, n_live, n_iter, n_chains, n_repeat):
+    def one_iter(carry, _):
+        key, live_u, live_lnl, scale = carry
+        worst = jnp.argmin(live_lnl)
+        lnl_star = live_lnl[worst]
+        dead_u = live_u[worst]
+
+        key, k_start, k_walk = jax.random.split(key, 3)
+        starts = jax.random.randint(k_start, (n_chains,), 0, n_live)
+        # avoid seeding from the worst point itself
+        starts = jnp.where(starts == worst, (starts + 1) % n_live, starts)
+        x0 = live_u[starts]
+        l0 = live_lnl[starts]
+        new_u, new_lnl, moved, acc = _constrained_walk(
+            lnlike_u, k_walk, x0, l0, lnl_star, scale, n_chains, n_repeat
+        )
+        live_u = live_u.at[worst].set(new_u)
+        live_lnl = live_lnl.at[worst].set(new_lnl)
+        # adapt scale toward ~35% acceptance
+        scale = jnp.clip(scale * jnp.exp(0.7 * (acc - 0.35)), 1e-5, 1.0)
+        return (key, live_u, live_lnl, scale), (dead_u, lnl_star)
+
+    scale0 = jnp.asarray(0.1, dtype=u0.dtype)
+    (key, live_u, live_lnl, _), (dead_u, dead_lnl) = jax.lax.scan(
+        one_iter, (key, u0, lnl0, scale0), None, length=n_iter
+    )
+    return dead_u, dead_lnl, live_u, live_lnl
+
+
+def run_nested(
+    lnpost_u: Callable,
+    prior_transform: Callable,
+    n_params: int,
+    key,
+    n_live: int = 500,
+    max_iter: int = None,
+    n_chains: int = 8,
+    n_repeat: int = 24,
+    n_equal: int = 4000,
+    rng=None,
+) -> NestedResult:
+    """Nested-sampling fit.
+
+    lnpost_u : vmapped fn (n, n_params)->(n,) over PARAMETER-space points
+    prior_transform : (..., n_params) unit cube -> parameter space (vectorized)
+    """
+    if max_iter is None:
+        max_iter = 12 * n_live
+
+    def lnlike_u(u):
+        return lnpost_u(prior_transform(u))
+
+    rng = np.random.default_rng(rng)
+    key = jax.random.PRNGKey(int(rng.integers(2 ** 31))) if key is None else key
+
+    # initialize live points: uniform draws, resample any -inf starts
+    u0 = jnp.asarray(rng.random((n_live, n_params)))
+    lnl0 = lnlike_u(u0)
+    lnl0 = jnp.where(jnp.isnan(lnl0), -jnp.inf, lnl0)
+    bad = ~np.isfinite(np.asarray(lnl0))
+    tries = 0
+    u0 = np.asarray(u0)
+    lnl0 = np.asarray(lnl0)
+    while bad.any() and tries < 200:
+        u_new = rng.random((int(bad.sum()), n_params))
+        l_new = np.asarray(lnlike_u(jnp.asarray(u_new)))
+        u0[bad] = u_new
+        lnl0[bad] = np.where(np.isnan(l_new), -np.inf, l_new)
+        bad = ~np.isfinite(lnl0)
+        tries += 1
+
+    dead_u, dead_lnl, live_u, live_lnl = _nested_core(
+        lnlike_u, jnp.asarray(u0), jnp.asarray(lnl0), key, n_live, max_iter, n_chains, n_repeat
+    )
+    dead_u = np.asarray(dead_u)
+    dead_lnl = np.asarray(dead_lnl)
+    live_u = np.asarray(live_u)
+    live_lnl = np.asarray(live_lnl)
+
+    # ---- host-side weight/evidence assembly (Skilling 2006) ----
+    n_dead = len(dead_lnl)
+    ln_x = -np.arange(1, n_dead + 1) / n_live  # E[ln X_i]
+    ln_x_prev = np.concatenate([[0.0], ln_x[:-1]])
+    # trapezoid prior-mass weights
+    w = np.exp(ln_x_prev) - np.exp(ln_x)
+    logwt_dead = np.log(np.maximum(w, 1e-300)) + dead_lnl
+
+    # final live points: remaining mass X_N spread equally, sorted by lnL
+    order = np.argsort(live_lnl)
+    x_final = np.exp(ln_x[-1]) if n_dead else 1.0
+    w_live = x_final / n_live
+    logwt_live = np.log(w_live) + live_lnl[order]
+
+    all_u = np.concatenate([dead_u, live_u[order]], axis=0)
+    all_lnl = np.concatenate([dead_lnl, live_lnl[order]])
+    all_logwt = np.concatenate([logwt_dead, logwt_live])
+
+    finite = np.isfinite(all_logwt)
+    lw = all_logwt[finite]
+    lmax = lw.max() if len(lw) else 0.0
+    logz = lmax + np.log(np.exp(lw - lmax).sum()) if len(lw) else -np.inf
+
+    # information H and error estimate
+    p = np.exp(lw - logz)
+    h = float(np.sum(p * (all_lnl[finite] - logz)))
+    logzerr = float(np.sqrt(max(h, 0.0) / n_live))
+
+    # equal-weight posterior resampling (the post_equal_weights.dat analog)
+    params_all = np.asarray(prior_transform(jnp.asarray(all_u)))
+    probs = np.zeros(len(all_logwt))
+    probs[finite] = p
+    probs = probs / probs.sum()
+    idx = rng.choice(len(probs), size=n_equal, replace=True, p=probs)
+    posterior = params_all[idx]
+
+    return NestedResult(
+        samples=params_all,
+        logl=all_lnl,
+        logwt=all_logwt,
+        logz=float(logz),
+        logzerr=logzerr,
+        h=h,
+        n_iter=n_dead,
+        posterior=posterior,
+        logl_posterior=all_lnl[idx],
+    )
