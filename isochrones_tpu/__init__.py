@@ -32,7 +32,11 @@ def __getattr__(name):
         from .isochrone import get_ichrone
 
         return get_ichrone
-    if name in ("StarModel", "BasicStarModel", "SingleStarModel", "BinaryStarModel", "TripleStarModel"):
+    if name in ("StarModel", "StarModelGroup"):
+        from . import treemodel
+
+        return getattr(treemodel, name)
+    if name in ("BasicStarModel", "SingleStarModel", "BinaryStarModel", "TripleStarModel", "IsoTrackModel"):
         from . import starmodel
 
         return getattr(starmodel, name)

@@ -138,8 +138,8 @@ def run_nested(
     lnl0 = jnp.where(jnp.isnan(lnl0), -jnp.inf, lnl0)
     bad = ~np.isfinite(np.asarray(lnl0))
     tries = 0
-    u0 = np.asarray(u0)
-    lnl0 = np.asarray(lnl0)
+    u0 = np.array(u0)
+    lnl0 = np.array(lnl0)
     while bad.any() and tries < 200:
         u_new = rng.random((int(bad.sum()), n_params))
         l_new = np.asarray(lnlike_u(jnp.asarray(u_new)))
