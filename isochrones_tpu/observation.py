@@ -556,7 +556,11 @@ class ObservationTree(Node):
             if "obs" in grp:
                 del grp["obs"]
             g = grp.create_group("obs")
-            g.create_dataset("values", data=df.to_records(index=False))
+            rec = df.to_records(
+                index=False,
+                column_dtypes={"name": "S32", "band": "S16"},
+            )
+            g.create_dataset("values", data=rec)
             g.attrs["spectroscopy"] = json.dumps(self.spectroscopy)
             g.attrs["limits"] = json.dumps(
                 {l: {k: [None if not np.isfinite(x) else x for x in v] for k, v in d.items()}
@@ -564,7 +568,9 @@ class ObservationTree(Node):
             )
             g.attrs["parallax"] = json.dumps({str(k): list(v) for k, v in self.parallax.items()})
             g.attrs["AV"] = json.dumps({str(k): list(v) for k, v in self.AV.items()})
-            g.attrs["N"] = json.dumps(list(np.atleast_1d(self._N)) if self._N is not None else None)
+            g.attrs["N"] = json.dumps(
+                np.atleast_1d(self._N).tolist() if self._N is not None else None
+            )
             g.attrs["index"] = json.dumps(
                 np.asarray(self._index).tolist() if self._index is not None else None
             )
@@ -629,7 +635,9 @@ class ObservationTree(Node):
                 raise ValueError(f"Illegal property {k} (only {self.spec_props} allowed).")
             if len(v) != 2:
                 raise ValueError(f"Must provide (value, uncertainty) for {k}.")
-        self.spectroscopy.setdefault(label, {}).update(props)
+        self.spectroscopy.setdefault(label, {}).update(
+            {k: tuple(float(x) for x in v) for k, v in props.items()}
+        )
         self._plan = None
 
     def add_limit(self, label="0_0", **props):
@@ -827,7 +835,9 @@ class ObservationTree(Node):
                 nodes.append(n)
             except AttributeError:
                 pass
-        for i in np.argsort(ds):
+        # stable sort: ties (equal on-sky distance) resolve to the earliest
+        # node in leaves-first iteration, i.e. the deepest chain tip
+        for i in np.argsort(ds, kind="stable"):
             n = nodes[i]
             try:
                 if ds[i] < n.resolution or n.resolution == -1:
