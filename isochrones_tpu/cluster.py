@@ -1,0 +1,434 @@
+"""Star-cluster hierarchical models.
+
+Rebuild of ``isochrones/cluster.py`` (``StarClusterModel`` cluster.py:182-411,
+``SimulatedCluster`` cluster.py:71-179, ``simulate_cluster`` cluster.py:414-477,
+``clusterfit`` driver cluster.py:20-68).
+
+TPU-first design: the 7-parameter cluster likelihood — per-star properties,
+the (Nstars, Neep, Neep) binary-mixture photometric grid, and the double
+trapezoid marginalization — is ONE jitted XLA program over a static EEP
+ladder (:mod:`isochrones_tpu.ops.cluster`). Invalid ladder entries (NaN grid
+holes) are masked instead of dynamically sliced, so shapes stay static under
+``jit``. Batched posterior evaluation maps over walkers with ``lax.map`` to
+bound the (B, Nstars, Neep^2) memory footprint. The reference's MPI broadcast
+fan-out (cluster.py:65-67) is unnecessary: the sampler and likelihood run on
+one chip, and multi-chip scaling shards the star axis (see
+``isochrones_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .catalog import StarCatalog
+from .logger import getLogger
+from .ops.cluster import cluster_lnlike
+from .ops.interp import interp_nd
+from .ops.mags import interp_mag as _interp_mag_kernel
+from .priors import (
+    FehPrior,
+    FlatLogPrior,
+    FlatPrior,
+    GaussianPrior,
+    PowerLawPrior,
+)
+from .starmodel import BasicStarModel
+from .utils import addmags
+
+__all__ = ["StarClusterModel", "SimulatedCluster", "simulate_cluster", "clusterfit"]
+
+
+class StarClusterModel(BasicStarModel):
+    """Hierarchical 7-parameter cluster model
+    (age, feh, distance, AV, alpha, gamma, fB) — reference cluster.py:182-411.
+
+    Each member star is marginalized over its (primary EEP, secondary EEP)
+    plane with a binary-fraction photometric mixture, a power-law(alpha)
+    primary-mass prior (with the |dm/dEEP| Jacobian), and a power-law(gamma)
+    mass-ratio prior.
+    """
+
+    _cluster_param_names = ("age", "feh", "distance", "AV", "alpha", "gamma", "fB")
+
+    def __init__(
+        self,
+        ic,
+        stars,
+        name="",
+        halo_fraction=0.5,
+        max_AV=1.0,
+        max_distance=50000,
+        use_emcee=False,
+        eep_bounds=None,
+        mass_bounds=None,
+        minq=0.1,
+        directory=".",
+        **kwargs,
+    ):
+        self._jit_cache: Dict[str, object] = {}
+        self._ic = ic
+        if not isinstance(stars, StarCatalog):
+            stars = StarCatalog(stars, **kwargs)
+        self.stars = stars
+
+        # priors (reference cluster.py:207-215)
+        self._priors = {
+            "age": FlatLogPrior(bounds=(6, 10.15)),
+            "feh": FehPrior(halo_fraction=halo_fraction),
+            "AV": FlatPrior(bounds=(0, max_AV)),
+            "distance": PowerLawPrior(alpha=2.0, bounds=(0, max_distance)),
+            "alpha": FlatPrior(bounds=(-4, -1)),
+            "gamma": GaussianPrior(0.3, 0.1),
+            "fB": FlatPrior(bounds=(0.0, 0.6)),
+        }
+        self._bounds = {}
+        self.use_emcee = use_emcee
+        self._eep_bounds = eep_bounds
+        self._mass_bounds = mass_bounds
+        self.minq = minq
+        self.name = str(name)
+        self.N = None
+        self.kwargs = {}
+        self._samples = None
+        self._derived_samples = None
+        self._evidence = None
+        self._directory = str(directory)
+
+    @property
+    def param_names(self):
+        return self._cluster_param_names
+
+    @property
+    def n_params(self):
+        return len(self.param_names)
+
+    @property
+    def bands(self):
+        return self.stars.bands
+
+    @property
+    def props(self):
+        return self.stars.props
+
+    @property
+    def labelstring(self):
+        return "cluster" + (f"_{self.name}" if self.name else "")
+
+    def bounds(self, prop):
+        """reference cluster.py:241-259"""
+        if prop == "eep":
+            return self._eep_bounds if self._eep_bounds is not None else (self.ic.mineep, self.ic.maxeep)
+        if prop == "mass":
+            return self._mass_bounds if self._mass_bounds is not None else (self.ic.minmass, self.ic.maxmass)
+        prior = self._priors[prop]
+        b = getattr(prior, "bounds", None)
+        if b is not None and np.isfinite(b).all():
+            return b
+        if prop == "age":
+            return (self.ic.minage, self.ic.maxage)
+        if prop == "feh":
+            return (self.ic.minfeh, self.ic.maxfeh)
+        if prop == "gamma":
+            return (0, 1)
+        if prop == "fB":
+            return (0, 1)
+        return b
+
+    # ----------------------------------------------------------- batched fns
+    def _build_lnprior_batch(self):
+        priors = self._priors
+        names = self.param_names
+
+        def lnprior_batch(p):
+            lnp = jnp.zeros(p.shape[:-1], dtype=p.dtype)
+            for i, par in enumerate(names):
+                lnp = lnp + priors[par].lnpdf_jax(p[..., i])
+            return lnp
+
+        return lnprior_batch
+
+    def _build_lnlike_batch(self):
+        ic = self.ic
+        mineep, maxeep = self.bounds("eep")
+        eeps = jnp.arange(float(mineep), float(maxeep) + 1.0)
+        io = tuple(ic._param_index_order)
+        model = ic.model
+        bc = ic.bc
+        ci = model.column_index
+        i_mass = ci["initial_mass"]
+        i_dm = ci["dm_deep"]
+        band_icols = tuple(bc.column_index[b] for b in self.bands)
+        mass_lo, mass_hi = self.bounds("mass")
+        minq = self.minq
+        mag_vals = jnp.asarray(np.stack([v for _, (v, u) in self.stars.iter_bands()], axis=-1))
+        mag_uncs = jnp.asarray(np.stack([u for _, (v, u) in self.stars.iter_bands()], axis=-1))
+        prop_list = [(p, np.asarray(v), np.asarray(u)) for p, (v, u) in self.stars.iter_props()]
+        prop_icols = {p: ci[p] for p, _, _ in prop_list if p != "parallax"}
+        n_stars = mag_vals.shape[0]
+
+        def lnlike_one(p):
+            age, feh, distance, AV, alpha, gamma, fB = (p[i] for i in range(7))
+            n_eep = eeps.shape[0]
+            # user order (eep, age, feh) -> grid order via io
+            user = [eeps, jnp.broadcast_to(age, (n_eep,)), jnp.broadcast_to(feh, (n_eep,))]
+            grid_pts = jnp.stack([user[io[0]], user[io[1]], user[io[2]]], axis=-1)
+            mvals = interp_nd(model.values, model.knots, grid_pts, icols=(i_mass, i_dm))
+            masses = mvals[..., 0]
+            dm = mvals[..., 1]
+            ln_dm = jnp.log(jnp.abs(dm))
+
+            pts5 = jnp.stack(
+                [
+                    eeps,
+                    jnp.broadcast_to(age, (n_eep,)),
+                    jnp.broadcast_to(feh, (n_eep,)),
+                    jnp.broadcast_to(distance, (n_eep,)),
+                    jnp.broadcast_to(AV, (n_eep,)),
+                ],
+                axis=-1,
+            )
+            _, _, _, model_mags = _interp_mag_kernel(
+                pts5, io, model, ic._model_icols, bc, band_icols
+            )  # (Neep, Nbands)
+
+            # per-star property lnlike matrix (Nstars, Neep)
+            # (reference cluster.py:316-325; constant-free Gaussians)
+            lnlike_prop = jnp.zeros((n_stars, n_eep), dtype=p.dtype)
+            for prop, vals, uncs in prop_list:
+                if prop == "parallax":
+                    model_v = jnp.broadcast_to(1000.0 / distance, (n_eep,))
+                else:
+                    icol = prop_icols[prop]
+                    model_v = interp_nd(model.values, model.knots, grid_pts, icols=(icol,))[..., 0]
+                z = (jnp.asarray(vals)[:, None] - model_v[None, :]) / jnp.asarray(uncs)[:, None]
+                lnlike_prop = lnlike_prop - 0.5 * z * z
+
+            valid = (
+                jnp.isfinite(masses)
+                & jnp.isfinite(ln_dm)
+                & jnp.all(jnp.isfinite(model_mags), axis=-1)
+                & (masses >= mass_lo)
+                & (masses <= mass_hi)
+            )
+            lnlike_prop = jnp.nan_to_num(lnlike_prop, nan=-jnp.inf)
+            ln_dm = jnp.where(valid, ln_dm, 0.0)
+            masses_safe = jnp.where(valid, masses, 1.0)
+
+            return cluster_lnlike(
+                lnlike_prop, jnp.where(valid[:, None], model_mags, 0.0), masses_safe,
+                ln_dm, eeps, mag_vals, mag_uncs, alpha, gamma, fB,
+                mass_lo, mass_hi, minq, valid=valid,
+            )
+
+        def lnlike_batch(p):
+            if p.ndim == 1:
+                return lnlike_one(p)
+            flat = p.reshape(-1, p.shape[-1])
+            # lax.map bounds peak memory at one (Nstars, Neep^2) grid per step
+            out = jax.lax.map(lnlike_one, flat)
+            return out.reshape(p.shape[:-1])
+
+        return lnlike_batch
+
+    def emcee_p0(self, n_walkers, rng=None):
+        """Uniform draws inside the prior box (the reference raises here,
+        cluster.py:380-381; we support it since the priors are proper)."""
+        rng = np.random.default_rng(rng)
+        los, his = self._bounds_arrays()
+        p0 = los + (his - los) * rng.random((n_walkers, len(los)))
+        lnp = np.asarray(self.lnpost_batch(jnp.asarray(p0)))
+        bad = ~np.isfinite(lnp)
+        tries = 0
+        while bad.any() and tries < 100:
+            p_new = los + (his - los) * rng.random((int(bad.sum()), len(los)))
+            p0[bad] = p_new
+            lnp = np.asarray(self.lnpost_batch(jnp.asarray(p0)))
+            bad = ~np.isfinite(lnp)
+            tries += 1
+        return p0
+
+    def sample_from_prior(self, n, values=False, require_valid=True, rng=None):
+        import pandas as pd
+
+        df = pd.DataFrame(self.emcee_p0(n, rng=rng), columns=list(self.param_names))
+        return df.values if values else df
+
+    def _make_samples(self):
+        """Cluster samples are the raw chain (reference cluster.py:389-411)."""
+        self._derived_samples = self.samples.copy()
+
+
+class SimulatedCluster(StarCatalog):
+    """Synthetic cluster photometry catalog (reference cluster.py:71-179).
+
+    TPU-first: star generation is fully batched (one vectorized get_eep +
+    interp_mag per band) instead of per-star Python loops."""
+
+    def __init__(
+        self,
+        N,
+        age,
+        feh,
+        distance,
+        AV,
+        alpha,
+        gamma,
+        fB,
+        bands="JHK",
+        mass_range=(0.3, 2.5),
+        distance_scatter=5,
+        models="synthetic",
+        phot_unc=0.01,
+        ic=None,
+        rng=None,
+        **ic_kwargs,
+    ):
+        self.N = N
+        self.age = age
+        self.feh = feh
+        self.distance = distance
+        self.AV = AV
+        self.alpha = alpha
+        self.gamma = gamma
+        self.fB = fB
+        self.pars = [age, feh, distance, AV, alpha, gamma, fB]
+        self.bands = tuple(bands)
+        self.mass_range = mass_range
+        self.distance_scatter = distance_scatter
+        self.phot_unc = phot_unc
+        self._rng = np.random.default_rng(rng)
+
+        if ic is None:
+            from .isochrone import get_ichrone
+
+            ic = get_ichrone(models, **ic_kwargs)
+        self.ic = ic
+
+        df = self._generate()
+        super().__init__(df, bands=bands, props=["parallax"])
+
+    def evolve(self, age):
+        """Same stars at a different age (reference cluster.py:112-119)."""
+        df = self._simulate_stars(
+            age, self.df.is_binary.values, self.df.mass_pri.values,
+            self.df.mass_sec.values, self.df.distance.values,
+        )
+        return StarCatalog(df, bands=self.bands, props=["parallax"])
+
+    def _generate(self):
+        N = self.N
+        age, feh, distance, AV, alpha, gamma, fB = self.pars
+        r = self._rng
+        is_binary = r.random(N) < fB
+        pri = PowerLawPrior(alpha, self.mass_range).sample(N, rng=r)
+        qs = PowerLawPrior(gamma, (0.2, 1)).sample(N, rng=r)
+        sec = pri * qs * is_binary
+        sec[(sec < 0.1) & (sec > 0)] = 0.1
+        distances = distance + r.standard_normal(N) * self.distance_scatter
+        return self._simulate_stars(age, is_binary, pri, sec, distances)
+
+    def _simulate_stars(self, age, is_binary, pri_masses, sec_masses, distances):
+        import pandas as pd
+
+        N = len(pri_masses)
+        _, feh, distance, AV, alpha, gamma, fB = self.pars
+        r = self._rng
+        track = self.ic.track if self.ic.eep_replaces == "mass" else self.ic
+
+        pri_eeps = track.get_eep(pri_masses, age, feh)
+        sec_eeps = np.where(
+            sec_masses > 0, track.get_eep(np.maximum(sec_masses, 1e-3), age, feh), np.nan
+        )
+
+        iso = self.ic if self.ic.eep_replaces == "mass" else self.ic.iso
+        bands = list(self.bands)
+        _, _, _, pri_mags = iso.interp_mag(
+            [pri_eeps, np.full(N, age), np.full(N, feh), distances, np.full(N, AV)], bands
+        )
+        sec_safe = np.where(np.isfinite(sec_eeps), sec_eeps, pri_eeps)
+        _, _, _, sec_mags = iso.interp_mag(
+            [sec_safe, np.full(N, age), np.full(N, feh), distances, np.full(N, AV)], bands
+        )
+        sec_mags = np.where(np.isfinite(sec_eeps)[:, None], sec_mags, np.inf)
+
+        mags = {}
+        for i, b in enumerate(bands):
+            mags[f"{b}_mag"] = addmags(pri_mags[:, i], sec_mags[:, i])
+
+        stars = pd.DataFrame(mags)
+        stars["is_binary"] = is_binary
+        stars["distance"] = distances
+        stars["mass_pri"] = pri_masses
+        stars["mass_sec"] = sec_masses
+        stars["eep_pri"] = pri_eeps
+        stars["eep_sec"] = sec_eeps
+        unc = self.phot_unc
+        for b in bands:
+            stars[f"{b}_mag"] += r.standard_normal(N) * unc
+            stars[f"{b}_mag_unc"] = unc
+        stars["parallax"] = 1000.0 / distances
+        stars["parallax_unc"] = 0.2
+        return stars
+
+
+def simulate_cluster(
+    N, age, feh, distance, AV, alpha, gamma, fB,
+    bands="JHK", mass_range=(0.8, 2.5), distance_scatter=5, iso=None, rng=None, **ic_kwargs,
+):
+    """Functional synthetic-cluster generator (reference cluster.py:414-477)."""
+    sim = SimulatedCluster(
+        N, age, feh, distance, AV, alpha, gamma, fB, bands=bands,
+        mass_range=mass_range, distance_scatter=distance_scatter,
+        ic=iso, rng=rng, **ic_kwargs,
+    )
+    df = sim.df.copy()
+    df["age"] = age
+    df["feh"] = feh
+    df["AV"] = AV
+    return StarCatalog(df, bands=tuple(bands), props=["parallax"])
+
+
+def clusterfit(
+    starfile,
+    bands=None,
+    props=None,
+    models="mist",
+    max_distance=10000,
+    mineep=200,
+    maxeep=800,
+    maxAV=0.1,
+    minq=0.2,
+    overwrite=False,
+    nlive=1000,
+    name="",
+    halo_fraction=0.5,
+    comm=None,
+    rank=0,
+    max_iter=None,
+):
+    """Cluster-fit driver (reference cluster.py:20-68). The reference
+    broadcasts the model over MPI for MultiNest's rank-parallel likelihoods;
+    here the sampler is on-device, so ``comm``/``rank`` are accepted for API
+    compatibility and ignored."""
+    import pandas as pd
+
+    if comm is not None:
+        getLogger().info("MPI comm ignored: sampler fan-out runs on-device.")
+
+    stars = pd.read_hdf(starfile) if str(starfile).endswith((".h5", ".hdf", ".hdf5")) else pd.read_csv(starfile)
+    cat = StarCatalog(stars, bands=bands, props=props)
+    getLogger().info("bands = %s", cat.bands)
+
+    from .isochrone import get_ichrone
+
+    ic = get_ichrone(models, bands=cat.bands)
+    model = StarClusterModel(
+        ic, cat, eep_bounds=(mineep, maxeep), max_distance=max_distance,
+        minq=minq, halo_fraction=halo_fraction, max_AV=maxAV, name=name,
+    )
+    model.fit(overwrite=overwrite, n_live_points=nlive, max_iter=max_iter)
+    return model

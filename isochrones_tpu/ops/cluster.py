@@ -1,0 +1,146 @@
+"""Hierarchical-cluster likelihood kernels.
+
+Rebuild of ``isochrones/cluster_utils.py:9-128`` (``calc_lnlike_grid`` +
+``integrate_over_eeps``, numba prange/fastmath) as fused batched XLA:
+
+* the (Nstars, Neep, Neep) binary-mixture photometric grid is built by
+  broadcasting over a ``lax.fori_loop`` across bands (keeps the peak
+  intermediate at one (Nstars, Neep, Neep) buffer instead of
+  (Nstars, Neep, Neep, Nbands));
+* the double trapezoid marginalization over (eep1, eep2) is a masked
+  pairwise-sum — two tensor contractions XLA maps onto the MXU/VPU;
+* multi-chip: the star axis shards cleanly (each chip owns a block of
+  stars' grids; total lnlike is a scalar psum) — see
+  ``isochrones_tpu.parallel``.
+
+Deviation from the reference (documented): the reference builds
+``lnlike_prop`` as (Neep, Nstars) (cluster.py:316-325) but indexes it as
+``lnlike_prop[i_star, j_eep]`` inside the numba kernel
+(cluster_utils.py:102) — out-of-bounds UB whenever Nstars != Neep. Here the
+intended (Nstars, Neep) orientation is required and bounds-checked by shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["calc_lnlike_grid", "integrate_over_eeps", "cluster_lnlike"]
+
+
+def _powerlaw_lnpdf(x, alpha, lo, hi):
+    """reference priors.py:476-480"""
+    a1 = alpha + 1.0
+    C = a1 / (hi ** a1 - lo ** a1)
+    return jnp.log(C) + alpha * jnp.log(x)
+
+
+def calc_lnlike_grid(
+    lnlike_prop,  # (Nstars, Neep)
+    model_mags,  # (Neep, Nbands)
+    masses,  # (Neep,)
+    ln_dm_deeps,  # (Neep,)
+    mag_values,  # (Nstars, Nbands)
+    mag_uncs,  # (Nstars, Nbands)
+    alpha,
+    gamma,
+    fB,
+    mass_lo,
+    mass_hi,
+    q_lo,
+    valid=None,  # (Neep,) bool: rows with finite model values
+):
+    """Lower-triangular (Nstars, Neep, Neep) grid of
+    lnlike(photometry mixture) + lnlike(primary mass) + lnlike(mass ratio)
+    + lnlike_prop, as a function of (eep1=j, eep2=k), k <= j
+    (reference cluster_utils.py:30-105).
+
+    ``fB`` is the binary fraction: each star's photometric likelihood is the
+    ``fB``-weighted logaddexp mixture of the binary (flux sum of j,k) and
+    single (j only) models.
+    """
+    n_eep = model_mags.shape[0]
+    n_bands = model_mags.shape[1]
+    n_stars = mag_values.shape[0]
+    assert lnlike_prop.shape == (n_stars, n_eep), "lnlike_prop must be (Nstars, Neep)"
+    dt = model_mags.dtype
+
+    if valid is None:
+        valid = jnp.ones(n_eep, dtype=bool)
+    safe_mags = jnp.where(valid[:, None], model_mags, jnp.zeros_like(model_mags))
+    safe_masses = jnp.where(valid, masses, jnp.ones_like(masses))
+
+    flux = 10.0 ** (-0.4 * safe_mags)  # (Neep, Nbands)
+
+    # accumulate the photometric mixture over bands without materializing a
+    # (Nstars, Neep, Neep, Nbands) tensor
+    def band_term(b, acc):
+        f1 = flux[:, b][:, None]  # (Neep, 1) primary (j)
+        f2 = flux[:, b][None, :]  # (1, Neep) secondary (k)
+        tot_mag_binary = -2.5 * jnp.log10(f1 + f2)  # (Neep, Neep)
+        mag_v = mag_values[:, b][:, None, None]  # (Nstars, 1, 1)
+        mag_u = mag_uncs[:, b][:, None, None]
+        resid_b = tot_mag_binary[None] - mag_v
+        lnlike_binary = -0.5 * resid_b * resid_b / (mag_u * mag_u)
+        resid_s = safe_mags[:, b][None, :, None] - mag_v  # single: primary j only
+        lnlike_single = -0.5 * resid_s * resid_s / (mag_u * mag_u)
+        mix = jnp.logaddexp(jnp.log(fB) + lnlike_binary, jnp.log(1.0 - fB) + lnlike_single)
+        return acc + mix
+
+    lnlike_phot = jax.lax.fori_loop(
+        0, n_bands, band_term, jnp.zeros((n_stars, n_eep, n_eep), dtype=dt)
+    )
+
+    q = safe_masses[None, :] / safe_masses[:, None]  # (Neep_j, Neep_k): m_k / m_j
+    lnlike_mass = _powerlaw_lnpdf(safe_masses, alpha, mass_lo, mass_hi) + ln_dm_deeps  # (Neep,)
+    lnlike_q = _powerlaw_lnpdf(q, gamma, q_lo, 1.0)  # (Neep, Neep)
+
+    out = (
+        lnlike_phot
+        + lnlike_mass[None, :, None]
+        + lnlike_q[None, :, :]
+        + lnlike_prop[:, :, None]
+    )
+
+    # mask: q < q_lo -> -inf (cluster_utils.py:72-74); invalid rows/cols and
+    # the upper triangle (k > j) contribute nothing downstream
+    tri = jnp.tril(jnp.ones((n_eep, n_eep), dtype=bool))
+    mask = (q >= q_lo) & tri & valid[:, None] & valid[None, :]
+    return jnp.where(mask[None], out, -jnp.inf)
+
+
+def integrate_over_eeps(lnlike_grid, eeps):
+    """Double trapezoid over (eep2 then eep1) per star
+    (reference cluster_utils.py:108-128). Returns (Nstars,) linear-space
+    marginalized likelihoods."""
+    like = jnp.exp(lnlike_grid)  # -inf -> 0
+    n = eeps.shape[0]
+    de = eeps[1:] - eeps[:-1]  # (Neep-1,)
+
+    # inner trapezoid over k, restricted to k+1 <= j:
+    # row[i, j] = sum_k 0.5 (like[i,j,k] + like[i,j,k+1]) de[k]  for k+1 <= j
+    pair = 0.5 * (like[:, :, :-1] + like[:, :, 1:]) * de[None, None, :]
+    kmask = (jnp.arange(1, n)[None, :] <= jnp.arange(n)[:, None])  # (Neep_j, Neep-1_k)
+    row = jnp.sum(jnp.where(kmask[None], pair, 0.0), axis=-1)  # (Nstars, Neep)
+
+    # outer trapz over j
+    return jnp.sum(0.5 * (row[:, :-1] + row[:, 1:]) * de[None, :], axis=-1)
+
+
+@partial(jax.jit, static_argnames=())
+def cluster_lnlike(
+    lnlike_prop, model_mags, masses, ln_dm_deeps, eeps, mag_values, mag_uncs,
+    alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid=None,
+):
+    """Fused grid build + marginalization + star-sum (reference
+    cluster.py:365-378). Returns scalar total lnlike (-inf if any star has
+    zero marginal likelihood)."""
+    grid = calc_lnlike_grid(
+        lnlike_prop, model_mags, masses, ln_dm_deeps, mag_values, mag_uncs,
+        alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid=valid,
+    )
+    like_tot = integrate_over_eeps(grid, eeps)
+    total = jnp.sum(jnp.log(like_tot))
+    return jnp.where(jnp.any(like_tot <= 0) | jnp.isnan(total), -jnp.inf, total)

@@ -1,0 +1,173 @@
+"""Cluster kernel + model tests.
+
+Kernel parity uses a direct NumPy loop oracle implementing the reference
+semantics (cluster_utils.py:30-128); model tests simulate a synthetic cluster
+and check the 7-parameter likelihood peaks at truth.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from isochrones_tpu import get_ichrone
+from isochrones_tpu.catalog import StarCatalog
+from isochrones_tpu.cluster import SimulatedCluster, StarClusterModel, simulate_cluster
+from isochrones_tpu.ops.cluster import calc_lnlike_grid, integrate_over_eeps
+
+
+def _oracle_grid(lnlike_prop, model_mags, masses, ln_dm, eeps, vals, uncs,
+                 alpha, gamma, fB, mass_lo, mass_hi, q_lo):
+    """Reference-semantics loop oracle (math from cluster_utils.py:30-105)."""
+    def pl_lnpdf(x, a, lo, hi):
+        a1 = a + 1.0
+        C = a1 / (hi ** a1 - lo ** a1)
+        return np.log(C) + a * np.log(x)
+
+    n = len(model_mags)
+    n_stars = len(vals)
+    n_bands = model_mags.shape[1]
+    out = np.full((n_stars, n, n), -np.inf)
+    for i in range(n_stars):
+        for j in range(n):
+            for k in range(j + 1):
+                if masses[k] / masses[j] < q_lo:
+                    continue
+                lp = 0.0
+                for b in range(n_bands):
+                    f1 = 10 ** (-0.4 * model_mags[j, b])
+                    f2 = 10 ** (-0.4 * model_mags[k, b])
+                    tot = -2.5 * np.log10(f1 + f2)
+                    rb = tot - vals[i, b]
+                    lb = -0.5 * rb * rb / uncs[i, b] ** 2
+                    rs = model_mags[j, b] - vals[i, b]
+                    ls = -0.5 * rs * rs / uncs[i, b] ** 2
+                    lp += np.logaddexp(np.log(fB) + lb, np.log(1 - fB) + ls)
+                lm = pl_lnpdf(masses[j], alpha, mass_lo, mass_hi) + ln_dm[j]
+                lq = pl_lnpdf(masses[k] / masses[j], gamma, q_lo, 1.0)
+                out[i, j, k] = lp + lm + lq + lnlike_prop[i, j]
+    return out
+
+
+def _oracle_integrate(grid, eeps):
+    """cluster_utils.py:108-128 semantics."""
+    n_stars, n, _ = grid.shape
+    out = np.zeros(n_stars)
+    for i in range(n_stars):
+        row = np.zeros(n)
+        for j in range(n):
+            tot = 0.0
+            for k in range(j):
+                tot += 0.5 * (np.exp(grid[i, j, k]) + np.exp(grid[i, j, k + 1])) * (eeps[k + 1] - eeps[k])
+            row[j] = tot
+        out[i] = np.trapezoid(row, eeps)
+    return out
+
+
+def test_kernel_parity():
+    rng = np.random.default_rng(0)
+    n_eep, n_bands, n_stars = 12, 3, 4
+    eeps = np.arange(n_eep, dtype=float) + 10
+    model_mags = rng.normal(8, 1, (n_eep, n_bands))
+    masses = np.sort(rng.uniform(0.5, 2.0, n_eep))
+    ln_dm = rng.normal(-4, 0.3, n_eep)
+    lnlike_prop = rng.normal(-1, 0.5, (n_stars, n_eep))
+    vals = rng.normal(8, 1, (n_stars, n_bands))
+    uncs = np.full((n_stars, n_bands), 0.05)
+    alpha, gamma, fB, mass_lo, mass_hi, q_lo = (-2.0, 0.3, 0.4, 0.3, 3.0, 0.2)
+
+    grid = np.asarray(
+        calc_lnlike_grid(
+            jnp.asarray(lnlike_prop), jnp.asarray(model_mags), jnp.asarray(masses),
+            jnp.asarray(ln_dm), jnp.asarray(vals), jnp.asarray(uncs),
+            alpha, gamma, fB, mass_lo, mass_hi, q_lo,
+        )
+    )
+    oracle = _oracle_grid(lnlike_prop, model_mags, masses, ln_dm, eeps, vals, uncs,
+                          alpha, gamma, fB, mass_lo, mass_hi, q_lo)
+    finite = np.isfinite(oracle)
+    assert (np.isfinite(grid) == finite).all()
+    assert np.allclose(grid[finite], oracle[finite], rtol=1e-10)
+
+    marg = np.asarray(integrate_over_eeps(jnp.asarray(grid), jnp.asarray(eeps)))
+    marg_oracle = _oracle_integrate(oracle, eeps)
+    assert np.allclose(marg, marg_oracle, rtol=1e-10)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    ic = get_ichrone("synthetic", n_feh=7, n_mass=30, n_eep=100, n_age=30)
+    return SimulatedCluster(
+        30, age=9.0, feh=0.0, distance=500.0, AV=0.05, alpha=-2.0, gamma=0.3, fB=0.3,
+        bands=("J", "H", "K"), mass_range=(0.5, 3.0), distance_scatter=2.0,
+        ic=ic, rng=42, phot_unc=0.02,
+    )
+
+
+def test_simulated_cluster(sim):
+    assert len(sim) == 30
+    df = sim.df
+    for c in ("J_mag", "H_mag", "K_mag", "J_mag_unc", "parallax", "mass_pri", "is_binary"):
+        assert c in df.columns
+    assert np.isfinite(df["J_mag"]).all()
+    # binaries are brighter than the equivalent single primary
+    assert (df.mass_sec[df.is_binary] > 0).all()
+
+
+def test_cluster_model_lnlike(sim):
+    model = StarClusterModel(
+        sim.ic, sim, eep_bounds=(1, 95), max_distance=2000, minq=0.2, max_AV=0.2,
+    )
+    truth = [9.0, 0.0, 500.0, 0.05, -2.0, 0.3, 0.3]
+    ll_truth = model.lnlike(truth)
+    assert np.isfinite(ll_truth)
+    assert np.isfinite(model.lnprior(truth))
+    # wrong age should be much worse
+    wrong = [8.0, 0.0, 500.0, 0.05, -2.0, 0.3, 0.3]
+    assert model.lnlike(wrong) < ll_truth
+    wrong_d = [9.0, 0.0, 900.0, 0.05, -2.0, 0.3, 0.3]
+    assert model.lnlike(wrong_d) < ll_truth
+
+
+def test_cluster_batch_eval(sim):
+    model = StarClusterModel(sim.ic, sim, eep_bounds=(1, 95), max_distance=2000, minq=0.2)
+    rng = np.random.default_rng(1)
+    batch = np.array([9.0, 0.0, 500.0, 0.05, -2.0, 0.3, 0.3]) + rng.normal(
+        0, [0.02, 0.02, 5.0, 0.01, 0.1, 0.02, 0.02], size=(4, 7)
+    )
+    lnp = np.asarray(model.lnpost_batch(jnp.asarray(batch)))
+    for i in range(4):
+        assert np.isclose(lnp[i], model.lnpost(batch[i]), rtol=1e-8, equal_nan=True)
+
+
+def test_cluster_fit_smoke(sim):
+    model = StarClusterModel(
+        sim.ic, sim, eep_bounds=(1, 95), max_distance=2000, minq=0.2, max_AV=0.2,
+    )
+    df = model.fit_mcmc(nwalkers=16, nburn=40, niter=10, seed=0)
+    assert np.isfinite(df["lnprob"]).all()
+    assert len(df) == 16 * 10
+
+
+def test_simulate_cluster_function():
+    ic = get_ichrone("synthetic", n_feh=7, n_mass=30, n_eep=100, n_age=30)
+    cat = simulate_cluster(20, 9.0, 0.0, 400.0, 0.05, -2.2, 0.3, 0.4, iso=ic, rng=1)
+    assert isinstance(cat, StarCatalog)
+    assert len(cat) == 20
+    assert "age" in cat.df.columns
+
+
+def test_catalog_iter_models(sim):
+    mods = list(sim.iter_models(ic=sim.ic, N=1))
+    assert len(mods) == 30
+    m = mods[0]
+    assert set(m.bands) == {"J", "H", "K"}
+    assert "parallax" in m.kwargs
+
+
+def test_catalog_write_ini(tmp_path, sim):
+    dirs = sim.write_ini(ic=sim.ic, root=str(tmp_path), N=1)
+    assert len(dirs) == 30
+    import os
+
+    assert os.path.exists(os.path.join(dirs[0], "star.ini"))
