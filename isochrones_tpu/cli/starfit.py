@@ -1,0 +1,84 @@
+"""``starfit`` CLI (reference scripts/starfit:34-106)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Fit physical properties of a star conditioned on observed quantities."
+    )
+    parser.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu); env vars are overridden in some TPU environments")
+    parser.add_argument("folders", nargs="*", default=["."])
+    parser.add_argument("--binary", action="store_true")
+    parser.add_argument("--triple", action="store_true")
+    parser.add_argument("--all", action="store_true")
+    parser.add_argument("--models", default="mist")
+    parser.add_argument("--emcee", action="store_true", help="use on-device ensemble MCMC instead of nested sampling")
+    parser.add_argument("--fehprior", default="local")
+    parser.add_argument("--plot_only", action="store_true")
+    parser.add_argument("-o", "--overwrite", action="store_true")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument("--no_plots", action="store_true")
+    parser.add_argument("--n_live_points", type=int, default=1000)
+    parser.add_argument("--max_iter", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--bands", nargs="*", default=None, help="Additional band(s) to include in samples.")
+    parser.add_argument("--tree", action="store_true", help="use the tree-based StarModel (resolved systems)")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..starfit import starfit
+
+    if args.all:
+        multiplicities = ["single", "binary", "triple"]
+    elif args.binary:
+        multiplicities = ["binary"]
+    elif args.triple:
+        multiplicities = ["triple"]
+    else:
+        multiplicities = ["single"]
+
+    starmodel_type = None
+    if args.tree:
+        from ..treemodel import StarModel
+
+        starmodel_type = StarModel
+
+    logger = None
+    fit_kwargs = dict(n_live_points=args.n_live_points, seed=args.seed)
+    if args.max_iter is not None:
+        fit_kwargs["max_iter"] = args.max_iter
+
+    for i, folder in enumerate(args.folders):
+        print(f"{i + 1} of {len(args.folders)}: {folder}")
+        mod, logger = starfit(
+            folder,
+            multiplicities=multiplicities,
+            models=args.models,
+            use_emcee=args.emcee,
+            feh_prior=args.fehprior,
+            plot_only=args.plot_only,
+            overwrite=args.overwrite,
+            verbose=args.verbose,
+            no_plots=args.no_plots,
+            logger=logger,
+            bands=args.bands,
+            starmodel_type=starmodel_type,
+            **fit_kwargs,
+        )
+        del mod
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -242,6 +242,7 @@ def make_synthetic_grids(
         values=_asdev(track_vals, dtype),
         knots=tuple(_asdev(k, dtype) for k in (fehs, masses, eeps)),
         columns=STANDARD_COLUMNS,
+        host_values=track_vals.astype(dtype),
     )
 
     # ---- EEP-inversion arrays (+inf-padded monotone age matrices) ----
@@ -286,6 +287,7 @@ def make_synthetic_grids(
         values=_asdev(iso_vals, dtype),
         knots=tuple(_asdev(k, dtype) for k in (ages, fehs, eeps)),
         columns=iso_columns,
+        host_values=iso_vals.astype(dtype),
     )
 
     # ---- BC grid: (Teff, logg, feh, AV) ----
@@ -304,6 +306,7 @@ def make_synthetic_grids(
         values=_asdev(bc_vals, dtype),
         knots=tuple(_asdev(k, dtype) for k in (bc_teff, bc_logg, bc_feh, bc_av)),
         columns=bands,
+        host_values=bc_vals.astype(dtype),
     )
 
     return SyntheticStellarGrids(

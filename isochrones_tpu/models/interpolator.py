@@ -72,6 +72,18 @@ class ModelGridInterpolator:
         self._limits_cache = {}
 
     # ------------------------------------------------------------------ limits
+    @property
+    def _host_values(self):
+        """Host-side copy of the model grid for metadata queries. Column
+        min/max on device would trigger a fresh XLA compile per grid shape —
+        minutes over a cold TPU tunnel — for a one-time scalar."""
+        if getattr(self, "_host_values_cache", None) is None:
+            if self.model.host_values is not None:
+                self._host_values_cache = self.model.host_values
+            else:
+                self._host_values_cache = np.asarray(self.model.values)
+        return self._host_values_cache
+
     def get_limits(self, prop):
         """Axis/value ranges (reference grid.py:58, models.py:276-305)."""
         if prop in self._limits_cache:
@@ -82,7 +94,7 @@ class ModelGridInterpolator:
             lim = (float(k[0]), float(k[-1]))
         else:
             icol = self.model.column_index[prop]
-            col = np.asarray(self.model.values[..., icol])
+            col = self._host_values[..., icol]
             lim = (float(np.nanmin(col)), float(np.nanmax(col)))
         self._limits_cache[prop] = lim
         return lim

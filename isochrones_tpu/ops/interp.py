@@ -53,6 +53,14 @@ class GridData:
     values: jnp.ndarray  # (n0, ..., nk, ncols)
     knots: Tuple[jnp.ndarray, ...]  # len k+1, each (n_i,)
     columns: Tuple[str, ...] = ()
+    # Optional host-side numpy mirror of ``values`` for metadata queries
+    # (column limits etc.). NOT part of the pytree — device->host readback of
+    # the full grid is pathologically slow over a remote-TPU tunnel, so grid
+    # builders stash the numpy array they already have. Dropped (None) after
+    # a jit flatten/unflatten roundtrip, which only loses the cache.
+    host_values: Optional[np.ndarray] = dataclasses.field(
+        default=None, compare=False, repr=False
+    )
 
     def tree_flatten(self):
         return (self.values, self.knots), (self.columns,)
@@ -85,6 +93,7 @@ class GridData:
             values=self.values.astype(dtype),
             knots=tuple(k.astype(dtype) for k in self.knots),
             columns=self.columns,
+            host_values=None if self.host_values is None else self.host_values.astype(dtype),
         )
 
 
@@ -230,7 +239,10 @@ class GridInterpolator:
                 values = values.astype(dtype)
                 knots = tuple(k.astype(dtype) for k in knots)
             self.grid_data = GridData(
-                values=jnp.asarray(values), knots=tuple(jnp.asarray(k) for k in knots), columns=tuple(self.columns)
+                values=jnp.asarray(values),
+                knots=tuple(jnp.asarray(k) for k in knots),
+                columns=tuple(self.columns),
+                host_values=np.asarray(values),
             )
             self.index_names = list(df.index.names)
 
@@ -240,6 +252,8 @@ class GridInterpolator:
 
     @property
     def grid(self):
+        if self.grid_data.host_values is not None:
+            return self.grid_data.host_values
         return np.asarray(self.grid_data.values)
 
     @property
@@ -275,12 +289,21 @@ class GridInterpolator:
 
     def add_column(self, values, name):
         """reference: interp.py:616-623"""
+        host = None
+        if self.grid_data.host_values is not None:
+            hv = np.asarray(values, dtype=self.grid_data.host_values.dtype)
+            host = np.concatenate(
+                [self.grid_data.host_values, hv.reshape(self.grid_data.host_values.shape[:-1] + (1,))],
+                axis=-1,
+            )
         values = jnp.asarray(values, dtype=self.grid_data.values.dtype)
         new_vals = jnp.concatenate(
             [self.grid_data.values, values.reshape(self.grid_data.values.shape[:-1] + (1,))], axis=-1
         )
         self.columns = self.columns + [name]
-        self.grid_data = GridData(values=new_vals, knots=self.grid_data.knots, columns=tuple(self.columns))
+        self.grid_data = GridData(
+            values=new_vals, knots=self.grid_data.knots, columns=tuple(self.columns), host_values=host
+        )
         self.n_columns += 1
         self.column_index[name] = self.n_columns - 1
 

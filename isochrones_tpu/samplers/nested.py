@@ -39,6 +39,7 @@ class NestedResult(NamedTuple):
     n_iter: int
     posterior: np.ndarray  # equal-weight posterior samples (n_eq, n_params)
     logl_posterior: np.ndarray  # lnpost values for the equal-weight samples
+    ess: float = np.nan  # effective sample size of the posterior weights
 
 
 def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_chains, n_repeat):
@@ -77,7 +78,7 @@ def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_chains
 
 
 @partial(jax.jit, static_argnames=("lnlike_u", "n_live", "n_iter", "n_chains", "n_repeat"))
-def _nested_core(lnlike_u, u0, lnl0, key, n_live, n_iter, n_chains, n_repeat):
+def _nested_core(lnlike_u, u0, lnl0, key, scale0, n_live, n_iter, n_chains, n_repeat):
     def one_iter(carry, _):
         key, live_u, live_lnl, scale = carry
         worst = jnp.argmin(live_lnl)
@@ -99,11 +100,10 @@ def _nested_core(lnlike_u, u0, lnl0, key, n_live, n_iter, n_chains, n_repeat):
         scale = jnp.clip(scale * jnp.exp(0.7 * (acc - 0.35)), 1e-5, 1.0)
         return (key, live_u, live_lnl, scale), (dead_u, lnl_star)
 
-    scale0 = jnp.asarray(0.1, dtype=u0.dtype)
-    (key, live_u, live_lnl, _), (dead_u, dead_lnl) = jax.lax.scan(
+    (key, live_u, live_lnl, scale), (dead_u, dead_lnl) = jax.lax.scan(
         one_iter, (key, u0, lnl0, scale0), None, length=n_iter
     )
-    return dead_u, dead_lnl, live_u, live_lnl
+    return dead_u, dead_lnl, live_u, live_lnl, key, scale
 
 
 def run_nested(
@@ -116,15 +116,18 @@ def run_nested(
     n_chains: int = 8,
     n_repeat: int = 24,
     n_equal: int = 4000,
+    dlogz: float = 0.01,
     rng=None,
 ) -> NestedResult:
     """Nested-sampling fit.
 
     lnpost_u : vmapped fn (n, n_params)->(n,) over PARAMETER-space points
     prior_transform : (..., n_params) unit cube -> parameter space (vectorized)
+    dlogz : evidence-based termination — stop when the remaining live-point
+        contribution to the evidence drops below this fraction (the MultiNest
+        ``evidence_tolerance`` role). ``max_iter`` is a hard cap on top.
     """
-    if max_iter is None:
-        max_iter = 12 * n_live
+    hard_cap = max_iter if max_iter is not None else 1000 * n_live
 
     def lnlike_u(u):
         return lnpost_u(prior_transform(u))
@@ -132,32 +135,67 @@ def run_nested(
     rng = np.random.default_rng(rng)
     key = jax.random.PRNGKey(int(rng.integers(2 ** 31))) if key is None else key
 
-    # initialize live points: uniform draws, resample any -inf starts
-    u0 = jnp.asarray(rng.random((n_live, n_params)))
-    lnl0 = lnlike_u(u0)
-    lnl0 = jnp.where(jnp.isnan(lnl0), -jnp.inf, lnl0)
-    bad = ~np.isfinite(np.asarray(lnl0))
+    # initialize live points: uniform draws, resample any -inf starts.
+    # Resample rounds always evaluate a FULL (n_live, n_params) batch — a
+    # variable-size batch would trigger a fresh XLA compile per unique size
+    # (expensive on a remote-TPU tunnel).
+    u0 = np.array(rng.random((n_live, n_params)))
+    lnl0 = np.array(lnlike_u(jnp.asarray(u0)))
+    lnl0 = np.where(np.isnan(lnl0), -np.inf, lnl0)
+    bad = ~np.isfinite(lnl0)
     tries = 0
-    u0 = np.array(u0)
-    lnl0 = np.array(lnl0)
     while bad.any() and tries < 200:
-        u_new = rng.random((int(bad.sum()), n_params))
+        u_new = rng.random((n_live, n_params))
         l_new = np.asarray(lnlike_u(jnp.asarray(u_new)))
-        u0[bad] = u_new
-        lnl0[bad] = np.where(np.isnan(l_new), -np.inf, l_new)
+        l_new = np.where(np.isnan(l_new), -np.inf, l_new)
+        good_new = np.isfinite(l_new)
+        n_take = min(int(bad.sum()), int(good_new.sum()))
+        if n_take:
+            bad_idx = np.where(bad)[0][:n_take]
+            good_idx = np.where(good_new)[0][:n_take]
+            u0[bad_idx] = u_new[good_idx]
+            lnl0[bad_idx] = l_new[good_idx]
         bad = ~np.isfinite(lnl0)
         tries += 1
 
-    dead_u, dead_lnl, live_u, live_lnl = _nested_core(
-        lnlike_u, jnp.asarray(u0), jnp.asarray(lnl0), key, n_live, max_iter, n_chains, n_repeat
-    )
-    dead_u = np.asarray(dead_u)
-    dead_lnl = np.asarray(dead_lnl)
-    live_u = np.asarray(live_u)
-    live_lnl = np.asarray(live_lnl)
+    # Chunked shrinkage with evidence-based termination: each chunk is one
+    # compiled lax.scan (shape-stable -> compiled once); between chunks the
+    # host checks whether the remaining live-point mass still matters.
+    chunk = max(n_live, 256)
+    live_u_j = jnp.asarray(u0)
+    live_lnl_j = jnp.asarray(lnl0)
+    scale = jnp.asarray(0.1, dtype=live_u_j.dtype)
+    dead_u_chunks, dead_lnl_chunks = [], []
+    n_dead_total = 0
+    while n_dead_total < hard_cap:
+        n_this = min(chunk, hard_cap - n_dead_total)
+        du, dl, live_u_j, live_lnl_j, key, scale = _nested_core(
+            lnlike_u, live_u_j, live_lnl_j, key, scale, n_live, n_this, n_chains, n_repeat
+        )
+        dead_u_chunks.append(np.asarray(du))
+        dead_lnl_chunks.append(np.asarray(dl))
+        n_dead_total += n_this
+
+        # termination: remaining evidence bound vs accumulated evidence
+        all_dl = np.concatenate(dead_lnl_chunks)
+        ln_x_i = -np.arange(1, n_dead_total + 1) / n_live
+        ln_wt_i = np.concatenate([[0.0], ln_x_i[:-1]])  # ln X_{i-1}
+        w_i = np.exp(ln_wt_i) - np.exp(ln_x_i)
+        lw = np.log(np.maximum(w_i, 1e-300)) + all_dl
+        lmax = lw.max()
+        logz_dead = lmax + np.log(np.exp(lw - lmax).sum())
+        lnl_live_max = float(np.max(np.asarray(live_lnl_j)))
+        logz_remain = lnl_live_max + ln_x_i[-1]  # upper bound on live mass
+        if np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain)) < dlogz:
+            break
+
+    dead_u = np.concatenate(dead_u_chunks, axis=0)
+    dead_lnl = np.concatenate(dead_lnl_chunks)
+    live_u = np.asarray(live_u_j)
+    live_lnl = np.asarray(live_lnl_j)
+    n_dead = len(dead_lnl)
 
     # ---- host-side weight/evidence assembly (Skilling 2006) ----
-    n_dead = len(dead_lnl)
     ln_x = -np.arange(1, n_dead + 1) / n_live  # E[ln X_i]
     ln_x_prev = np.concatenate([[0.0], ln_x[:-1]])
     # trapezoid prior-mass weights
@@ -189,6 +227,15 @@ def run_nested(
     probs = np.zeros(len(all_logwt))
     probs[finite] = p
     probs = probs / probs.sum()
+    ess = float(1.0 / np.sum(probs ** 2))
+    if ess < 100:
+        from ..logger import getLogger
+
+        getLogger().warning(
+            "Nested-sampling posterior ESS is only %.0f — run was likely "
+            "truncated (max_iter too small) or n_live too low; quantiles "
+            "will be unreliable.", ess,
+        )
     idx = rng.choice(len(probs), size=n_equal, replace=True, p=probs)
     posterior = params_all[idx]
 
@@ -202,4 +249,5 @@ def run_nested(
         n_iter=n_dead,
         posterior=posterior,
         logl_posterior=all_lnl[idx],
+        ess=ess,
     )

@@ -1,0 +1,184 @@
+"""Folder-based starfit orchestration (L6).
+
+Rebuild of ``isochrones/starfit.py:18-161`` (the ``starfit()`` driver) and
+the batch-submission role of ``scripts/batch_starfit``. Workflow: a folder
+containing ``star.ini`` -> model construction per multiplicity -> on-device
+fit -> HDF save -> corner PNGs with freshness checks.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from .logger import getLogger, initLogging
+
+__all__ = ["starfit", "batch_starfit_script"]
+
+NSTARS = {"single": 1, "binary": 2, "triple": 3}
+
+
+def starfit(
+    folder,
+    multiplicities=("single",),
+    models="mist",
+    feh_prior="local",
+    use_emcee=False,
+    plot_only=False,
+    overwrite=False,
+    verbose=False,
+    logger=None,
+    starmodel_type=None,
+    ini_file="star.ini",
+    no_plots=False,
+    bands=None,
+    **kwargs,
+):
+    """Run the starfit routine for a folder (reference starfit.py:18-161).
+
+    feh_prior : 'flat' or 'local'
+    """
+    from .priors import FlatPrior
+    from .starmodel import BasicStarModel
+    from .treemodel import StarModel
+
+    Mod = BasicStarModel if starmodel_type is None else starmodel_type
+    ichrone = None
+    mod = None
+
+    for mult in multiplicities:
+        model_filename = f"{models}_starmodel_{mult}.h5"
+        logfile = os.path.join(folder, "starfit.log")
+        logger = initLogging(logfile, logger)
+        name = os.path.basename(os.path.abspath(folder))
+
+        try:
+            start = time.time()
+            model_path = os.path.join(folder, model_filename)
+            if plot_only:
+                mod = Mod.load_hdf(model_path, name=name)
+            else:
+                fit_model = True
+                try:
+                    mod = Mod.load_hdf(model_path, name=name)
+                    fit_model = False
+                except Exception:
+                    if os.path.exists(model_path):
+                        os.remove(model_path)
+
+                if fit_model or overwrite:
+                    ini_path = os.path.join(folder, ini_file)
+                    if ichrone is None:
+                        from .isochrone import get_ichrone
+
+                        ini_bands = StarModel.get_bands(ini_path)
+                        all_bands = ini_bands if bands is None else list(bands) + ini_bands
+                        ichrone = get_ichrone(models, list(set(all_bands)))
+
+                    if Mod is BasicStarModel or issubclass(Mod, BasicStarModel) and not issubclass(Mod, StarModel):
+                        # flat model path: parse ini into kwargs
+                        from .iniparse import IniSection, parse_ini, parse_value
+
+                        c = parse_ini(ini_path)
+                        obs_kwargs = {}
+                        for k, v in c.items():
+                            if isinstance(v, IniSection):
+                                for k2, v2 in v.items():
+                                    val = parse_value(v2)
+                                    if isinstance(val, list) and len(val) == 2:
+                                        obs_kwargs[k2] = tuple(val)
+                            else:
+                                val = parse_value(v)
+                                if isinstance(val, list) and len(val) == 2:
+                                    obs_kwargs[k] = tuple(val)
+                                elif k in ("RA", "ra"):
+                                    obs_kwargs["ra"] = val
+                                elif k in ("dec", "Dec"):
+                                    obs_kwargs["dec"] = val
+                                elif k == "maxAV":
+                                    obs_kwargs["maxAV"] = val
+                        mod = Mod(ichrone, N=NSTARS[mult], name=name, directory=folder,
+                                  use_emcee=use_emcee, **obs_kwargs)
+                    else:
+                        mod = Mod.from_ini(ichrone, folder, use_emcee=use_emcee,
+                                           N=NSTARS[mult], ini_file=ini_file, name=name)
+
+                    if feh_prior == "flat":
+                        mod.set_prior(feh=FlatPrior((ichrone.minfeh, ichrone.maxfeh)))
+
+                    if hasattr(mod, "obs") and mod.obs is not None:
+                        try:
+                            mod.obs.print_ascii()
+                        except Exception:
+                            pass
+
+                    mod.fit(verbose=verbose, overwrite=overwrite, **kwargs)
+                    mod.save_hdf(model_path, overwrite=True)
+                else:
+                    logger.info("%s exists. Use overwrite to refit.", model_filename)
+
+            # corner plots, only when stale (reference starfit.py:111-127)
+            if not no_plots and mod is not None and mod._samples is not None:
+                make_corners = plot_only
+                for x in ("physical", "observed"):
+                    f = os.path.join(folder, f"{models}_corner_{mult}_{x}.png")
+                    if not os.path.exists(f) or (
+                        os.path.exists(model_path)
+                        and os.path.getmtime(model_path) > os.path.getmtime(f)
+                    ):
+                        make_corners = True
+                        break
+                if make_corners:
+                    import matplotlib.pyplot as plt
+
+                    fig = mod.corner_physical()
+                    fig.savefig(os.path.join(folder, f"{models}_corner_{mult}_physical.png"))
+                    plt.close(fig)
+                    fig = mod.corner_observed()
+                    fig.savefig(os.path.join(folder, f"{models}_corner_{mult}_observed.png"))
+                    plt.close(fig)
+
+            logger.info(
+                "%s starfit successful for %s in %.1f minutes.",
+                mult, folder, (time.time() - start) / 60,
+            )
+        except KeyboardInterrupt:
+            logger.error("%s starfit interrupted for %s.", mult, folder)
+            raise
+        except Exception:
+            logger.error("%s starfit failed for %s.", mult, folder, exc_info=True)
+
+    return mod, logger
+
+
+def batch_starfit_script(listfile, nsplit=None, ntasks_per_node=20, minutes_per_fit=5.0, extra=()):
+    """Write a SLURM job-array-style batch script sharding a folder list
+    (reference scripts/batch_starfit). Returns the script path; submission is
+    left to the caller (``sbatch <script>``)."""
+    listfile = os.path.abspath(listfile)
+    num_lines = sum(1 for _ in open(listfile))
+    nsplit = num_lines if nsplit is None else nsplit
+
+    n_nodes = int(np.ceil(nsplit / ntasks_per_node))
+    ntasks = min(nsplit, ntasks_per_node)
+    num_per_job = int(np.ceil(num_lines / nsplit))
+    tot_minutes = minutes_per_fit * num_per_job
+    time_string = "{:02.0f}:{:02.0f}:00".format(tot_minutes // 60, tot_minutes % 60)
+
+    scriptfile = f"{listfile}.batch"
+    with open(scriptfile, "w") as f:
+        f.write("#!/bin/bash\n")
+        f.write(f"#SBATCH -J starfit-{os.path.basename(listfile)}\n")
+        f.write(f"#SBATCH -N {n_nodes}\n")
+        f.write(f"#SBATCH --ntasks-per-node={ntasks}\n")
+        f.write(f"#SBATCH -t {time_string}\n\n")
+        f.write(
+            "for ((i=0; i<=$(expr $SLURM_NPROCS-1); i++)) do\n"
+            f' awk "NR % ${{SLURM_NPROCS}} == $i" {listfile} | xargs starfit '
+        )
+        for arg in extra:
+            f.write(f"{arg} ")
+        f.write("&\ndone\nwait\n")
+    return scriptfile
