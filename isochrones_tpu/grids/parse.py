@@ -1,0 +1,93 @@
+"""Numeric-table parsing for grid bakes.
+
+The reference's bake-time data loader is ``pandas.read_csv`` over multi-GB
+MIST ASCII tables (mist/models.py:135-148, 264-289; bc.py:74-84). Here the
+hot path is a native C++ single-pass mmap+strtod parser
+(``native/fastparse.cpp``), compiled on demand with g++ and loaded via
+ctypes (no pybind11 in this environment), with a pandas fallback when no
+compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..logger import getLogger
+
+__all__ = ["read_whitespace_table", "parse_numeric_table", "get_fastparse_lib"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "fastparse.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "_fastparse.so")
+
+_lib = None
+_lib_failed = False
+
+
+def _build_lib():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB, _SRC]
+    getLogger().info("Building native parser: %s", " ".join(cmd))
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_fastparse_lib():
+    """Load (compiling if needed) the native parser; None when unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            _build_lib()
+        lib = ctypes.CDLL(_LIB)
+        lib.count_table.restype = ctypes.c_int
+        lib.count_table.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.parse_table.restype = ctypes.c_int64
+        lib.parse_table.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        _lib = lib
+    except Exception as e:  # no g++ / load failure -> pandas fallback
+        getLogger().warning("native parser unavailable (%s); using pandas fallback", e)
+        _lib_failed = True
+    return _lib
+
+
+def parse_numeric_table(filename) -> np.ndarray:
+    """Parse a '#'-commented whitespace numeric table to a (rows, cols)
+    float64 array using the native parser (pandas fallback)."""
+    lib = get_fastparse_lib()
+    if lib is None:
+        import pandas as pd
+
+        return pd.read_csv(filename, sep=r"\s+", comment="#", header=None).values.astype(float)
+
+    with open(filename, "rb") as f:
+        buf = f.read()
+    n = len(buf)
+    n_rows = ctypes.c_int64()
+    n_cols = ctypes.c_int64()
+    lib.count_table(buf, n, ctypes.byref(n_rows), ctypes.byref(n_cols))
+    out = np.empty((n_rows.value, n_cols.value), dtype=np.float64)
+    parsed = lib.parse_table(buf, n, out, n_rows.value, n_cols.value)
+    if parsed != n_rows.value:
+        raise IOError(f"parsed {parsed} rows, expected {n_rows.value} in {filename}")
+    return out
+
+
+def read_whitespace_table(filename, names):
+    """DataFrame view of :func:`parse_numeric_table` with given column names."""
+    import pandas as pd
+
+    data = parse_numeric_table(filename)
+    if data.shape[1] != len(names):
+        raise ValueError(f"{filename}: {data.shape[1]} columns, expected {len(names)} ({names})")
+    return pd.DataFrame(data, columns=list(names))
