@@ -176,7 +176,7 @@ class StarClusterModel(BasicStarModel):
             # user order (eep, age, feh) -> grid order via io
             user = [eeps, jnp.broadcast_to(age, (n_eep,)), jnp.broadcast_to(feh, (n_eep,))]
             grid_pts = jnp.stack([user[io[0]], user[io[1]], user[io[2]]], axis=-1)
-            mvals = interp_nd(model.values, model.knots, grid_pts, icols=(i_mass, i_dm))
+            mvals = interp_nd(model.values, model.knots, grid_pts, icols=(i_mass, i_dm), axis_maps=model.axis_maps)
             masses = mvals[..., 0]
             dm = mvals[..., 1]
             ln_dm = jnp.log(jnp.abs(dm))
@@ -192,7 +192,7 @@ class StarClusterModel(BasicStarModel):
                 axis=-1,
             )
             _, _, _, model_mags = _interp_mag_kernel(
-                pts5, io, model, ic._model_icols, bc, band_icols
+                pts5, io, ic.model_packed, ic._packed_icols, bc, band_icols
             )  # (Neep, Nbands)
 
             # per-star property lnlike matrix (Nstars, Neep)
@@ -203,7 +203,7 @@ class StarClusterModel(BasicStarModel):
                     model_v = jnp.broadcast_to(1000.0 / distance, (n_eep,))
                 else:
                     icol = prop_icols[prop]
-                    model_v = interp_nd(model.values, model.knots, grid_pts, icols=(icol,))[..., 0]
+                    model_v = interp_nd(model.values, model.knots, grid_pts, icols=(icol,), axis_maps=model.axis_maps)[..., 0]
                 z = (jnp.asarray(vals)[:, None] - model_v[None, :]) / jnp.asarray(uncs)[:, None]
                 lnlike_prop = lnlike_prop - 0.5 * z * z
 

@@ -29,7 +29,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.interp import GridData
+from ..ops.interp import GridData, compute_axis_maps
 from ..utils import G_CGS, MSUN_CGS, RSUN_CGS
 
 __all__ = ["SyntheticStellarGrids", "make_synthetic_grids", "DEFAULT_BANDS", "STANDARD_COLUMNS"]
@@ -243,6 +243,7 @@ def make_synthetic_grids(
         knots=tuple(_asdev(k, dtype) for k in (fehs, masses, eeps)),
         columns=STANDARD_COLUMNS,
         host_values=track_vals.astype(dtype),
+        axis_maps=compute_axis_maps((fehs, masses, eeps)),
     )
 
     # ---- EEP-inversion arrays (+inf-padded monotone age matrices) ----
@@ -288,6 +289,7 @@ def make_synthetic_grids(
         knots=tuple(_asdev(k, dtype) for k in (ages, fehs, eeps)),
         columns=iso_columns,
         host_values=iso_vals.astype(dtype),
+        axis_maps=compute_axis_maps((ages, fehs, eeps)),
     )
 
     # ---- BC grid: (Teff, logg, feh, AV) ----
@@ -307,6 +309,7 @@ def make_synthetic_grids(
         knots=tuple(_asdev(k, dtype) for k in (bc_teff, bc_logg, bc_feh, bc_av)),
         columns=bands,
         host_values=bc_vals.astype(dtype),
+        axis_maps=compute_axis_maps((bc_teff, bc_logg, bc_feh, bc_av)),
     )
 
     return SyntheticStellarGrids(

@@ -71,6 +71,24 @@ class ModelGridInterpolator:
         self._band_icols = tuple(bci[b] for b in self.bands)
         self._limits_cache = {}
 
+        # Packed copy of the 4 hot columns: interp_mag gathers 2^3 corner rows
+        # per point; with (Teff, logg, feh, Mbol) contiguous each gather is one
+        # 16-byte row instead of 4 scattered column reads (gathers are the
+        # bottleneck of the fused lnpost).
+        import jax.numpy as jnp
+
+        if model.host_values is not None:
+            packed_np = np.ascontiguousarray(model.host_values[..., list(self._model_icols)])
+            packed = jnp.asarray(packed_np)
+        else:
+            packed_np = None
+            packed = model.values[..., jnp.asarray(self._model_icols)]
+        self.model_packed = GridData(
+            values=packed, knots=model.knots, columns=("Teff", "logg", "feh", "Mbol"),
+            host_values=packed_np, axis_maps=model.axis_maps,
+        )
+        self._packed_icols = (0, 1, 2, 3)
+
     # ------------------------------------------------------------------ limits
     @property
     def _host_values(self):
@@ -148,12 +166,12 @@ class ModelGridInterpolator:
     def _interp_value_jit(self, points, icols):
         io = self._param_index_order
         grid_pts = jnp.stack([points[..., io[0]], points[..., io[1]], points[..., io[2]]], axis=-1)
-        return interp_nd(self.model.values, self.model.knots, grid_pts, icols=icols)
+        return interp_nd(self.model.values, self.model.knots, grid_pts, icols=icols, axis_maps=self.model.axis_maps)
 
     @partial(jax.jit, static_argnames=("self", "band_icols"))
     def _interp_mag_jit(self, points, band_icols):
         return _interp_mag_kernel(
-            points, self._param_index_order, self.model, self._model_icols, self.bc, band_icols
+            points, self._param_index_order, self.model_packed, self._packed_icols, self.bc, band_icols
         )
 
     def interp_value_batch(self, points: jnp.ndarray, props=None) -> jnp.ndarray:

@@ -1029,14 +1029,15 @@ def make_tree_lnlike(plan: TreePlan):
     from .ops.mags import interp_mag
 
     ic = plan.ic
-    model = ic.model
+    model = ic.model_packed  # hot columns packed contiguously
+    full_model = ic.model
     bc = ic.bc
     index_order = tuple(ic._param_index_order)
-    model_icols = ic._model_icols
+    model_icols = ic._packed_icols
     has_density = (len(plan.spec_prop) and (plan.spec_prop == 3).any()) or (
         len(plan.lim_prop) and (plan.lim_prop == 3).any()
     )
-    density_icol = model.column_index["density"] if has_density else None
+    density_icol = full_model.column_index["density"] if has_density else None
     band_icols = tuple(bc.column_index[b] for b in plan.bands)
 
     star_param_idx = jnp.asarray(plan.star_param_idx)
@@ -1085,7 +1086,7 @@ def make_tree_lnlike(plan: TreePlan):
                 grid_pts = jnp.stack(
                     [star_pars[..., io[0]], star_pars[..., io[1]], star_pars[..., io[2]]], axis=-1
                 )
-                dens = interp_nd(model.values, model.knots, grid_pts, icols=(density_icol,))[..., 0]
+                dens = interp_nd(full_model.values, full_model.knots, grid_pts, icols=(density_icol,), axis_maps=full_model.axis_maps)[..., 0]
                 props.append(dens)
             else:
                 props.append(jnp.zeros_like(Teff))

@@ -148,7 +148,7 @@ def get_eep_newton(
 
     def resid(eep, a, b, target):
         pt = jnp.stack([a, b, eep])[None]
-        return interp_nd(grid.values, grid.knots, pt, icols=(i_age_col,))[0, 0] - target
+        return interp_nd(grid.values, grid.knots, pt, icols=(i_age_col,), axis_maps=grid.axis_maps)[0, 0] - target
 
     grad_fn = jax.grad(resid, argnums=0)
 

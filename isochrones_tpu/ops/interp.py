@@ -31,6 +31,7 @@ import numpy as np
 
 __all__ = [
     "GridData",
+    "compute_axis_maps",
     "find_cells_1d",
     "interp_nd",
     "corner_data",
@@ -61,14 +62,21 @@ class GridData:
     host_values: Optional[np.ndarray] = dataclasses.field(
         default=None, compare=False, repr=False
     )
+    # Static per-axis analytic index maps: ("affine", lo, step) or
+    # ("log", log_lo, log_step) or None (general searchsorted). Knot search
+    # via jnp.searchsorted is a sequential scan — it dominated the fused
+    # interp kernel's runtime on TPU — while uniform/log-uniform axes (EEP,
+    # feh, age ladders) reduce to one multiply+floor. Computed from host
+    # knots at construction (see :func:`compute_axis_maps`).
+    axis_maps: Optional[Tuple] = None
 
     def tree_flatten(self):
-        return (self.values, self.knots), (self.columns,)
+        return (self.values, self.knots), (self.columns, self.axis_maps)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         values, knots = children
-        return cls(values=values, knots=knots, columns=aux[0])
+        return cls(values=values, knots=knots, columns=aux[0], axis_maps=aux[1])
 
     @property
     def ndim_grid(self) -> int:
@@ -94,23 +102,73 @@ class GridData:
             knots=tuple(k.astype(dtype) for k in self.knots),
             columns=self.columns,
             host_values=None if self.host_values is None else self.host_values.astype(dtype),
+            axis_maps=self.axis_maps,
         )
 
 
-def find_cells_1d(knots: jnp.ndarray, x: jnp.ndarray):
+def compute_axis_maps(knots, rtol=1e-5) -> Tuple:
+    """Detect per-axis analytic index maps from host-side knot arrays.
+
+    Returns a static tuple with one entry per axis: ``("affine", lo, step)``
+    for uniform knots, ``("log", log_lo, log_step)`` for log-uniform knots,
+    or ``None`` (fall back to searchsorted)."""
+    maps = []
+    for k in knots:
+        k = np.asarray(k, dtype=float)
+        if len(k) < 3:
+            maps.append(None)
+            continue
+        d = np.diff(k)
+        if np.allclose(d, d[0], rtol=rtol, atol=0.0) and d[0] > 0:
+            maps.append(("affine", float(k[0]), float(d[0])))
+            continue
+        if (k > 0).all():
+            ld = np.diff(np.log(k))
+            if np.allclose(ld, ld[0], rtol=rtol, atol=0.0) and ld[0] > 0:
+                maps.append(("log", float(np.log(k[0])), float(ld[0])))
+                continue
+        maps.append(None)
+    return tuple(maps)
+
+
+def find_cells_1d(knots: jnp.ndarray, x: jnp.ndarray, axis_map=None):
     """Locate each ``x`` in sorted ``knots``.
 
     Returns ``(cell, t, oob)`` where ``cell`` is the lower cell index,
     ``t`` the normalized in-cell coordinate (0 at an exact knot match —
     mirroring interp.py:77-82), and ``oob`` the out-of-bounds flag
     (interp.py:72: strictly ``x < knots[0] or x > knots[-1]``).
+
+    ``axis_map`` (static, from :func:`compute_axis_maps`) selects an O(1)
+    analytic index computation for uniform/log-uniform axes — the
+    searchsorted scan dominated the fused kernel's TPU runtime.
     """
     n = knots.shape[0]
+    oob = (x < knots[0]) | (x > knots[-1])
+
+    if axis_map is not None and n > 1:
+        kind, lo0, step = axis_map
+        xs = jnp.log(jnp.maximum(x, 1e-300)) if kind == "log" else x
+        raw = (xs - lo0) / step
+        cell = jnp.clip(jnp.floor(raw).astype(jnp.int32), 0, n - 2)
+        # two-step fix-up against the true knots absorbs fp rounding in raw
+        cell = jnp.where(x < knots[cell], cell - 1, cell)
+        cell = jnp.clip(cell, 0, n - 2)
+        cell = jnp.where(x >= knots[jnp.clip(cell + 1, 0, n - 1)], cell + 1, cell)
+        cell = jnp.clip(cell, 0, n - 2)
+        lo = knots[cell]
+        hi = knots[cell + 1]
+        denom = hi - lo
+        t = (x - lo) / jnp.where(denom == 0, jnp.ones_like(denom), denom)
+        # exact-knot semantics of the searchsorted path: t == 0 at a match
+        # (x == lo gives t = 0 exactly); exact top knot lands in the last
+        # cell with t = 1, which produces the identical clamped value.
+        return cell, t, oob
+
     i_ins = jnp.searchsorted(knots, x, side="left")
     i_safe = jnp.clip(i_ins, 0, n - 1)
     eq = knots[i_safe] == x
     cell = jnp.where(eq, i_safe, i_ins - 1)
-    oob = (x < knots[0]) | (x > knots[-1])
     cell_safe = jnp.clip(cell, 0, n - 2) if n > 1 else jnp.zeros_like(cell)
     lo = knots[cell_safe]
     hi = knots[jnp.clip(cell_safe + 1, 0, n - 1)]
@@ -127,6 +185,7 @@ def corner_data(
     knots: Sequence[jnp.ndarray],
     points: jnp.ndarray,
     icols: Optional[Tuple[int, ...]] = None,
+    axis_maps: Optional[Tuple] = None,
 ):
     """Gather the 2**ndim corner rows and lerp weights for a batch of points.
 
@@ -140,7 +199,8 @@ def corner_data(
 
     cells, ts, oobs = [], [], []
     for d in range(ndim):
-        cell, t, oob = find_cells_1d(knots[d], points[..., d])
+        amap = axis_maps[d] if axis_maps is not None else None
+        cell, t, oob = find_cells_1d(knots[d], points[..., d], axis_map=amap)
         cells.append(cell)
         ts.append(t)
         oobs.append(oob)
@@ -188,6 +248,7 @@ def interp_nd(
     knots: Sequence[jnp.ndarray],
     points: jnp.ndarray,
     icols: Optional[Tuple[int, ...]] = None,
+    axis_maps: Optional[Tuple] = None,
 ) -> jnp.ndarray:
     """Batched multilinear interpolation on a dense rectilinear grid.
 
@@ -198,12 +259,13 @@ def interp_nd(
     knots  : k+1 sorted 1-D axis arrays
     points : (..., ndim) query coordinates
     icols  : static tuple of column indices (None = all columns)
+    axis_maps : static per-axis analytic index maps (compute_axis_maps)
 
     Returns (..., n_icols); NaN rows for NaN/out-of-bounds queries.
     """
     batch_shape = points.shape[:-1]
     pts = points.reshape(-1, points.shape[-1])
-    corners, weights, bad = corner_data(values, knots, pts, icols=icols)
+    corners, weights, bad = corner_data(values, knots, pts, icols=icols, axis_maps=axis_maps)
     out = jnp.einsum("bj,bjc->bc", weights, corners.astype(weights.dtype))
     out = jnp.where(bad[:, None], jnp.full_like(out, jnp.nan), out)
     n_out = out.shape[-1]
@@ -212,7 +274,9 @@ def interp_nd(
 
 def interp_grid(grid: GridData, points: jnp.ndarray, cols=None) -> jnp.ndarray:
     """Interpolate named/indexed columns of a :class:`GridData`."""
-    return interp_nd(grid.values, grid.knots, points, icols=grid.icols(cols))
+    return interp_nd(
+        grid.values, grid.knots, points, icols=grid.icols(cols), axis_maps=grid.axis_maps
+    )
 
 
 class GridInterpolator:
@@ -229,6 +293,10 @@ class GridInterpolator:
         import pandas as pd  # host-only dependency
 
         if grid_data is not None:
+            if grid_data.axis_maps is None:
+                grid_data = dataclasses.replace(
+                    grid_data, axis_maps=compute_axis_maps([np.asarray(k) for k in grid_data.knots])
+                )
             self.grid_data = grid_data if dtype is None else grid_data.astype(dtype)
             self.columns = list(grid_data.columns)
             self.index_names = None
@@ -243,6 +311,7 @@ class GridInterpolator:
                 knots=tuple(jnp.asarray(k) for k in knots),
                 columns=tuple(self.columns),
                 host_values=np.asarray(values),
+                axis_maps=compute_axis_maps(knots),
             )
             self.index_names = list(df.index.names)
 
@@ -302,7 +371,8 @@ class GridInterpolator:
         )
         self.columns = self.columns + [name]
         self.grid_data = GridData(
-            values=new_vals, knots=self.grid_data.knots, columns=tuple(self.columns), host_values=host
+            values=new_vals, knots=self.grid_data.knots, columns=tuple(self.columns),
+            host_values=host, axis_maps=self.grid_data.axis_maps,
         )
         self.n_columns += 1
         self.column_index[name] = self.n_columns - 1
@@ -314,7 +384,7 @@ class GridInterpolator:
         points = jnp.stack([jnp.asarray(x) for x in pts], axis=-1)
         if points.ndim == 1:
             points = points[None, :]
-        out = np.asarray(interp_nd(self.grid_data.values, self.grid_data.knots, points, icols=icols))
+        out = np.asarray(interp_nd(self.grid_data.values, self.grid_data.knots, points, icols=icols, axis_maps=self.grid_data.axis_maps))
         if scalar_in:
             return out[0]
         return out

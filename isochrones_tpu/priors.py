@@ -540,7 +540,8 @@ class EEP_prior(BoundedPrior):
         from .ops.interp import interp_nd
 
         vals = interp_nd(
-            self.ic.model.values, self.ic.model.knots, grid_pts, icols=(self._icol_orig, self._icol_deriv)
+            self.ic.model.values, self.ic.model.knots, grid_pts,
+            icols=(self._icol_orig, self._icol_deriv), axis_maps=self.ic.model.axis_maps,
         )
         orig_val = vals[..., 0]
         deriv = vals[..., 1]

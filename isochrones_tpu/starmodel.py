@@ -285,16 +285,17 @@ class BasicStarModel:
         mag_vals = jnp.asarray(mag_vals)
         mag_uncs = jnp.asarray(mag_uncs)
         index_order = tuple(ic._param_index_order)
-        model = ic.model
+        model = ic.model_packed  # hot columns packed contiguously
         bc = ic.bc
-        model_icols = ic._model_icols
+        model_icols = ic._packed_icols
+        full_model = ic.model
         dist_idx = self.distance_index
         kw = self.kwargs
         has_parallax = "parallax" in kw
         has_numax = "nu_max" in kw
         has_delnu = "delta_nu" in kw
         seismo_icols = (
-            (model.column_index["nu_max"], model.column_index["delta_nu"]) if has_numax else None
+            (full_model.column_index["nu_max"], full_model.column_index["delta_nu"]) if has_numax else None
         )
         from .ops.interp import interp_nd
 
@@ -310,7 +311,7 @@ class BasicStarModel:
                 prim = self._primary_pars(pars)
                 io = index_order
                 grid_pts = jnp.stack([prim[..., io[0]], prim[..., io[1]], prim[..., io[2]]], axis=-1)
-                vals = interp_nd(model.values, model.knots, grid_pts, icols=seismo_icols)
+                vals = interp_nd(full_model.values, full_model.knots, grid_pts, icols=seismo_icols)
                 nu_max, nu_max_unc = kw["nu_max"]
                 ll = ll + gauss_lnprob(nu_max, nu_max_unc, vals[..., 0])
                 if has_delnu:
@@ -874,11 +875,11 @@ class IsoTrackModel(BasicStarModel):
             )
             ll = star_lnlike(
                 iso_pars, tuple(iso._param_index_order), spec_vals, spec_uncs, mag_vals,
-                mag_uncs, iso.model, iso._model_icols, iso.bc, iso_band_icols, n_stars=1,
+                mag_uncs, iso.model_packed, iso._packed_icols, iso.bc, iso_band_icols, n_stars=1,
             )
             ll = ll + star_lnlike(
                 track_pars, tuple(track._param_index_order), spec_vals, spec_uncs, mag_vals,
-                mag_uncs, track.model, track._model_icols, track.bc, track_band_icols, n_stars=1,
+                mag_uncs, track.model_packed, track._packed_icols, track.bc, track_band_icols, n_stars=1,
             )
             if has_parallax:
                 plax, plax_unc = kw["parallax"]
