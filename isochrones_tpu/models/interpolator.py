@@ -89,6 +89,33 @@ class ModelGridInterpolator:
         )
         self._packed_icols = (0, 1, 2, 3)
 
+        # 6-column variant additionally packing the EEP-prior change-of-
+        # variables columns (orig quantity + its d/dEEP derivative), so a
+        # fused lnpost shares ONE corner-gather pass between the magnitude
+        # model and the EEP prior (they interpolate the same grid points).
+        self.model_packed6 = None
+        if self.eep_replaces == "age" and "age" in ci and "dt_deep" in ci:
+            prior_cols = (ci["age"], ci["dt_deep"])
+            prior_names = ("age", "dt_deep")
+        elif self.eep_replaces == "mass" and "initial_mass" in ci and "dm_deep" in ci:
+            prior_cols = (ci["initial_mass"], ci["dm_deep"])
+            prior_names = ("initial_mass", "dm_deep")
+        else:
+            prior_cols = None
+        if prior_cols is not None:
+            icols6 = self._model_icols + prior_cols
+            if model.host_values is not None:
+                p6_np = np.ascontiguousarray(model.host_values[..., list(icols6)])
+                p6 = jnp.asarray(p6_np)
+            else:
+                p6_np = None
+                p6 = model.values[..., jnp.asarray(icols6)]
+            self.model_packed6 = GridData(
+                values=p6, knots=model.knots,
+                columns=("Teff", "logg", "feh", "Mbol") + prior_names,
+                host_values=p6_np, axis_maps=model.axis_maps,
+            )
+
     # ------------------------------------------------------------------ limits
     @property
     def _host_values(self):

@@ -360,6 +360,7 @@ class BasicStarModel:
         if name not in self._jit_cache:
             lnlike = self._build_lnlike_batch()
             lnprior = self._build_lnprior_batch()
+            fused = self._build_lnpost_fused()
 
             def lnpost(pars):
                 lnpr = lnprior(pars)
@@ -369,8 +370,127 @@ class BasicStarModel:
 
             self._jit_cache["lnlike"] = jax.jit(lnlike)
             self._jit_cache["lnprior"] = jax.jit(lnprior)
-            self._jit_cache["lnpost"] = jax.jit(lnpost)
+            self._jit_cache["lnpost"] = jax.jit(fused if fused is not None else lnpost)
         return self._jit_cache[name]
+
+    def _build_lnpost_fused(self):
+        """Fused lnprior+lnlike sharing ONE model-grid corner-gather pass:
+        the magnitude model and the EEP change-of-variables prior interpolate
+        the same (per-component) grid points, so the 2^3 corner gathers are
+        paid once over a 6-column packed grid. Falls back to the composed
+        path (None) for customized priors or subclasses."""
+        from .priors import EEP_prior as _EEP
+
+        ic = self.ic
+        if type(self)._build_lnlike_batch is not BasicStarModel._build_lnlike_batch:
+            return None
+        if type(self)._build_lnprior_batch is not BasicStarModel._build_lnprior_batch:
+            return None
+        if getattr(ic, "model_packed6", None) is None:
+            return None
+        eep_prior = self._priors.get("eep")
+        if not isinstance(eep_prior, _EEP) or eep_prior.ic is not ic:
+            return None
+
+        from .ops.interp import interp_nd
+
+        N = self.N
+        spec_vals, spec_uncs, mag_vals, mag_uncs, band_icols = self._static_obs()
+        spec_vals = jnp.asarray(spec_vals)
+        spec_uncs = jnp.asarray(spec_uncs)
+        mag_vals = jnp.asarray(mag_vals)
+        mag_uncs = jnp.asarray(mag_uncs)
+        io = tuple(ic._param_index_order)
+        pack6 = ic.model_packed6
+        full_model = ic.model
+        bc = ic.bc
+        kw = self.kwargs
+        has_parallax = "parallax" in kw
+        has_numax = "nu_max" in kw
+        has_delnu = "delta_nu" in kw
+        seismo_icols = (
+            (full_model.column_index["nu_max"], full_model.column_index["delta_nu"])
+            if has_numax else None
+        )
+        dist_idx = self.distance_index
+        priors = self._priors
+        param_names = self.param_names
+        eep_lo, eep_hi = eep_prior.bounds
+        orig_prior = eep_prior.orig_prior
+        eep_replaces = ic.eep_replaces
+        from .ops.likelihood import stack_components
+
+        def lnpost(pars):
+            comp_pars = stack_components(pars, N)  # (..., N, 5) user order
+            grid_pts = jnp.stack(
+                [comp_pars[..., io[0]], comp_pars[..., io[1]], comp_pars[..., io[2]]], axis=-1
+            )
+            vals6 = interp_nd(
+                pack6.values, pack6.knots, grid_pts, icols=(0, 1, 2, 3, 4, 5),
+                axis_maps=pack6.axis_maps,
+            )  # (..., N, 6)
+            Teff = vals6[..., 0, 0]
+            logg = vals6[..., 0, 1]
+            feh = vals6[..., 0, 2]
+            mbol = vals6[..., 3]
+            orig_val = vals6[..., 4]
+            deriv = vals6[..., 5]
+
+            AV = comp_pars[..., io[4]]
+            bc_pts = jnp.stack([vals6[..., 0], vals6[..., 1], vals6[..., 2], AV], axis=-1)
+            bc_vals = interp_nd(bc.values, bc.knots, bc_pts, icols=band_icols, axis_maps=bc.axis_maps)
+            dist_mod = 5.0 * jnp.log10(comp_pars[..., io[3]] / 10.0)
+            comp_mags = mbol[..., None] + dist_mod[..., None] - bc_vals  # (..., N, n_bands)
+            if N == 1:
+                mags = comp_mags[..., 0, :]
+            else:
+                mags = -2.5 * jnp.log10(jnp.sum(10.0 ** (-0.4 * comp_mags), axis=-2))
+
+            ll = jnp.zeros(pars.shape[:-1], dtype=pars.dtype)
+            for k, model_val in enumerate((Teff, logg, feh)):
+                term = gauss_lnprob(spec_vals[k], spec_uncs[k], model_val)
+                ll = ll + jnp.where(jnp.isnan(spec_vals[k]), jnp.zeros_like(term), term)
+            if len(band_icols):
+                ll = ll + jnp.sum(gauss_lnprob(mag_vals, mag_uncs, mags), axis=-1)
+            if has_parallax:
+                plax, plax_unc = kw["parallax"]
+                ll = ll + gauss_lnprob(plax, plax_unc, 1000.0 / pars[..., dist_idx])
+            if has_numax:
+                prim = self._primary_pars(pars)
+                gp = jnp.stack([prim[..., io[0]], prim[..., io[1]], prim[..., io[2]]], axis=-1)
+                sv = interp_nd(full_model.values, full_model.knots, gp, icols=seismo_icols,
+                               axis_maps=full_model.axis_maps)
+                nu_max, nu_max_unc = kw["nu_max"]
+                ll = ll + gauss_lnprob(nu_max, nu_max_unc, sv[..., 0])
+                if has_delnu:
+                    delta_nu, _ = kw["delta_nu"]  # value-as-unc quirk preserved
+                    ll = ll + gauss_lnprob(delta_nu, delta_nu, sv[..., 1])
+
+            # ---- prior: shared params + ordering + fused EEP change-of-vars
+            lnp = jnp.zeros(pars.shape[:-1], dtype=pars.dtype)
+            if N == 2:
+                lnp = jnp.where(pars[..., 1] > pars[..., 0], -jnp.inf, lnp)
+            elif N == 3:
+                bad = (~(pars[..., 0] > pars[..., 1])) & (pars[..., 1] > pars[..., 2])
+                lnp = jnp.where(bad, -jnp.inf, lnp)
+            eep_j = 0
+            for i, par in enumerate(param_names):
+                val = pars[..., i]
+                if par in ("eep", "eep_0", "eep_1", "eep_2"):
+                    ov = orig_val[..., eep_j]
+                    dv = deriv[..., eep_j]
+                    term = orig_prior.lnpdf_jax(ov) + jnp.log(jnp.maximum(dv, 1e-300))
+                    term = jnp.where(jnp.isfinite(ov) & (dv > 0), term, -jnp.inf)
+                    term = jnp.where((val < eep_lo) | (val > eep_hi), -jnp.inf, term)
+                    lnp = lnp + term
+                    eep_j += 1
+                else:
+                    lnp = lnp + priors[par].lnpdf_jax(val)
+
+            ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
+            return jnp.where(jnp.isfinite(lnp), lnp + ll, -jnp.inf)
+
+        return lnpost
 
     @property
     def lnpost_batch(self):
