@@ -265,6 +265,26 @@ class ModelGridInterpolator:
     def delta_nu(self, *pars):
         return self._prop("delta_nu", *pars)
 
+    @property
+    def mag(self):
+        """Dict-like per-band magnitude callables (reference ``ic.mag[band]``
+        usage at observation.py:578, cluster.py:148-152)."""
+        ic = self
+
+        class _MagAccessor:
+            def __getitem__(self, band):
+                def mag_fn(*pars):
+                    _, _, _, mags = ic.interp_mag(list(pars), [band])
+                    out = np.asarray(mags)[..., 0]
+                    return float(out) if out.ndim == 0 or out.size == 1 else out
+
+                return mag_fn
+
+            def keys(self):
+                return list(ic.bands)
+
+        return _MagAccessor()
+
     def initialize(self, pars=None):
         """Warm-up compile + sanity check (reference models.py:349-358)."""
         if pars is None:

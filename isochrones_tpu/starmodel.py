@@ -646,6 +646,13 @@ class BasicStarModel:
         self._derived_samples = None
         return result
 
+    def fit_polychord(self, basename=None, verbose=False, **kwargs):
+        """The reference shells out to the Fortran PolyChord nested sampler
+        (starmodel.py:703-715); the on-device nested sampler fills both the
+        MultiNest and PolyChord roles here."""
+        getLogger().info("fit_polychord: delegating to the on-device nested sampler.")
+        return self.fit_multinest(verbose=verbose, **kwargs)
+
     def fit_mcmc(
         self,
         nwalkers=300,
@@ -654,15 +661,25 @@ class BasicStarModel:
         thin=1,
         p0=None,
         seed=None,
+        mesh=None,
         **kwargs,
     ):
         """On-device affine-invariant ensemble MCMC (replaces emcee,
-        reference starmodel.py:886-972)."""
+        reference starmodel.py:886-972).
+
+        mesh : optional ``jax.sharding.Mesh`` with a ``walkers`` axis — the
+        walker batch shards across devices (data-parallel lnpost; the
+        stretch move's complementary-half access becomes an ICI all-gather).
+        """
         from .samplers.ensemble import run_ensemble
 
         if p0 is None:
             p0 = self.emcee_p0(nwalkers, rng=seed)
         p0 = jnp.asarray(np.asarray(p0, dtype=float))
+        if mesh is not None:
+            from .parallel import shard_batch
+
+            p0 = shard_batch(p0, mesh, axis="walkers")
         key = jax.random.PRNGKey(seed if seed is not None else 0)
 
         key, k_burn = jax.random.split(key)
