@@ -646,6 +646,39 @@ class BasicStarModel:
         self._derived_samples = None
         return result
 
+    def fit_nuts(
+        self,
+        n_chains=8,
+        n_warmup=500,
+        n_samples=500,
+        max_depth=8,
+        target_accept=0.8,
+        seed=None,
+    ):
+        """On-device No-U-Turn sampling of the posterior (the SURVEY §7
+        build-plan NUTS stage). The fused lnpost is differentiable (grid
+        interpolation is piecewise-multilinear), so gradients come free
+        from autodiff; hard prior bounds act through divergences."""
+        from .samplers.nuts import run_nuts
+
+        n_cloud = max(64, 8 * self.n_params, 2 * n_chains)
+        p0 = self.sample_from_prior(n_cloud, values=True, require_valid=True, rng=seed)
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        res = run_nuts(
+            self.lnpost_batch, jnp.asarray(np.asarray(p0, dtype=float)), key,
+            n_warmup=n_warmup, n_samples=n_samples, max_depth=max_depth,
+            target_accept=target_accept, ensemble_init=500, n_chains=n_chains,
+        )
+        import pandas as pd
+
+        flat = res.samples.reshape(-1, self.n_params)
+        df = pd.DataFrame(flat, columns=list(self.param_names))
+        df["lnprob"] = res.lnp.reshape(-1)
+        self._samples = df
+        self._derived_samples = None
+        self._nuts_result = res
+        return df
+
     def fit_polychord(self, basename=None, verbose=False, **kwargs):
         """The reference shells out to the Fortran PolyChord nested sampler
         (starmodel.py:703-715); the on-device nested sampler fills both the

@@ -1,0 +1,75 @@
+"""NUTS sampler tests: exact-target statistics on a correlated Gaussian,
+and posterior recovery on a star model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from isochrones_tpu import get_ichrone
+from isochrones_tpu.samplers.nuts import run_nuts
+from isochrones_tpu.starmodel import SingleStarModel
+
+
+def test_gaussian_target():
+    dim = 4
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(dim, dim))
+    cov = A @ A.T + dim * np.eye(dim)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu_np = np.array([1.0, -2.0, 0.5, 3.0])
+    mu = jnp.asarray(mu_np)
+
+    def logp(x):
+        d = x - mu
+        return -0.5 * jnp.einsum("bi,ij,bj->b", d, prec, d)
+
+    x0 = jnp.asarray(rng.normal(size=(8, dim)))
+    res = run_nuts(logp, x0, jax.random.PRNGKey(0), n_warmup=500, n_samples=1000)
+
+    assert res.n_divergent.sum() == 0
+    assert (res.accept_rate > 0.6).all()
+    flat = res.samples.reshape(-1, dim)
+    # means within ~4 effective standard errors (conservative: tau ~ few)
+    se = np.sqrt(np.diag(cov) / (len(flat) / 10))
+    assert (np.abs(flat.mean(0) - mu_np) < 5 * se).all()
+    # covariance structure recovered
+    rel = np.abs(np.cov(flat.T) - cov).max() / np.abs(cov).max()
+    assert rel < 0.12
+
+
+def test_mass_matrix_adaptation():
+    """Badly scaled Gaussian: adaptation should learn per-dim variances."""
+    scales = jnp.asarray([0.01, 1.0, 100.0])
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / scales) ** 2, axis=-1)
+
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(4, 3)))
+    res = run_nuts(logp, x0, jax.random.PRNGKey(1), n_warmup=600, n_samples=600)
+    flat = res.samples.reshape(-1, 3)
+    stds = flat.std(axis=0)
+    ratio = stds / np.asarray(scales)
+    assert (np.abs(np.log(ratio)) < np.log(1.6)).all(), ratio
+    # inv_mass should separate the scales by orders of magnitude (the exact
+    # ratio is limited by how well the slow dimension mixes during warmup)
+    im = res.inv_mass.mean(axis=0)
+    assert im[2] / im[0] > 1e3
+
+
+def test_star_model_nuts():
+    iso = get_ichrone("synthetic", n_feh=7, n_mass=30, n_eep=100, n_age=30)
+    Teff, logg, _, mags = iso.interp_mag([60.0, 9.0, 0.0, 200.0, 0.1], ["J", "H", "K"])
+    m = SingleStarModel(
+        iso, Teff=(Teff, 100.0), logg=(logg, 0.1),
+        J=(float(mags[0]), 0.02), H=(float(mags[1]), 0.02), K=(float(mags[2]), 0.02),
+        parallax=(5.0, 0.05),
+    )
+    df = m.fit_nuts(n_chains=4, n_warmup=300, n_samples=300, seed=0)
+    assert np.isfinite(df["lnprob"]).all()
+    assert abs(df["age"].median() - 9.0) < 0.1
+    assert abs(df["distance"].median() - 200.0) < 10.0
+    assert abs(df["feh"].median() - 0.0) < 0.15
+    assert float(m.posterior_predictive) < 10.0
