@@ -96,6 +96,68 @@ def run_ensemble(
     return chain, ln_chain, final
 
 
+@partial(jax.jit, static_argnames=("lnpost_v", "n_steps", "thin", "a"))
+def run_ensemble_batch(
+    lnpost_v: Callable,
+    walkers0: jnp.ndarray,
+    key: jax.Array,
+    n_steps: int,
+    thin: int = 1,
+    a: float = 2.0,
+):
+    """Many independent ensembles advanced in lockstep — one XLA program
+    fitting a whole catalog of stars simultaneously (the TPU-native
+    replacement for the reference's SLURM fleet-of-fits,
+    scripts/batch_starfit).
+
+    lnpost_v : (S, n, n_params) -> (S, n) per-star vmapped log-posterior
+    walkers0 : (S, n_walkers, n_params)
+    Returns (chain (n_steps//thin, S, n_walkers, n_params),
+             ln_chain (n_steps//thin, S, n_walkers), final state tuple).
+    """
+    S, n_walkers, n_dim = walkers0.shape
+    half = n_walkers // 2
+
+    def stretch_half(active, passive, lnp_active, lnp_prop_fn, key):
+        # active: (S, half, D); passive: (S, half, D)
+        k_z, k_pick, k_acc = jax.random.split(key, 3)
+        u = jax.random.uniform(k_z, (S, half), dtype=active.dtype)
+        z = ((a - 1.0) * u + 1.0) ** 2 / a
+        picks = jax.random.randint(k_pick, (S, half), 0, passive.shape[1])
+        partners = jnp.take_along_axis(passive, picks[..., None], axis=1)
+        proposal = partners + z[..., None] * (active - partners)
+        lnp_prop = lnp_prop_fn(proposal)
+        lnp_prop = jnp.where(jnp.isnan(lnp_prop), -jnp.inf, lnp_prop)
+        ln_ratio = (n_dim - 1.0) * jnp.log(z) + lnp_prop - lnp_active
+        accept = jnp.log(jax.random.uniform(k_acc, (S, half), dtype=active.dtype)) < ln_ratio
+        new_active = jnp.where(accept[..., None], proposal, active)
+        new_lnp = jnp.where(accept, lnp_prop, lnp_active)
+        return new_active, new_lnp, accept
+
+    lnp0 = lnpost_v(walkers0)
+    lnp0 = jnp.where(jnp.isnan(lnp0), -jnp.inf, lnp0)
+
+    def one_step(state, _):
+        key, w, lnp, n_acc = state
+        key, k1, k2 = jax.random.split(key, 3)
+        first, second = w[:, :half], w[:, half:]
+        lnp1, lnp2 = lnp[:, :half], lnp[:, half:]
+        new_first, new_lnp1, acc1 = stretch_half(first, second, lnp1, lnpost_v, k1)
+        new_second, new_lnp2, acc2 = stretch_half(second, new_first, lnp2, lnpost_v, k2)
+        w = jnp.concatenate([new_first, new_second], axis=1)
+        lnp = jnp.concatenate([new_lnp1, new_lnp2], axis=1)
+        n_acc = n_acc + jnp.concatenate([acc1, acc2], axis=1).astype(jnp.int32)
+        return (key, w, lnp, n_acc), None
+
+    def thin_step(state, _):
+        state, _ = jax.lax.scan(one_step, state, None, length=thin)
+        return state, (state[1], state[2])
+
+    state0 = (key, walkers0, lnp0, jnp.zeros((S, n_walkers), dtype=jnp.int32))
+    final, (chain, ln_chain) = jax.lax.scan(thin_step, state0, None, length=n_steps // thin)
+    return chain, ln_chain, final
+
+
 def autocorr_time(chain) -> jnp.ndarray:
     """Integrated autocorrelation time per parameter (Sokal window heuristic,
     same role as emcee's convergence criterion used at fit.py:100-140).

@@ -1,0 +1,96 @@
+"""Batched many-star fitting tests: a catalog of synthetic stars with
+different truths fitted in ONE program, each posterior recovering its truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+from isochrones_tpu import get_ichrone
+from isochrones_tpu.batch import BatchStarFitter, fit_catalog
+from isochrones_tpu.catalog import StarCatalog
+from isochrones_tpu.starmodel import SingleStarModel
+
+BANDS = ("J", "H", "K")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    iso = get_ichrone("synthetic", n_feh=7, n_mass=30, n_eep=100, n_age=30)
+    rng = np.random.default_rng(0)
+    truths = pd.DataFrame(
+        {
+            "eep": [40.0, 55.0, 70.0, 60.0, 50.0, 65.0],
+            "age": [8.6, 9.0, 9.3, 8.8, 9.1, 8.7],
+            "feh": [-0.3, 0.0, 0.2, -0.1, 0.1, -0.2],
+            "distance": [150.0, 200.0, 300.0, 250.0, 180.0, 220.0],
+            "AV": [0.05, 0.1, 0.2, 0.15, 0.08, 0.12],
+        }
+    )
+    rows = {}
+    Teff, logg, _, mags = iso.interp_mag(
+        [truths.eep.values, truths.age.values, truths.feh.values,
+         truths.distance.values, truths.AV.values], list(BANDS),
+    )
+    mags = np.asarray(mags)
+    for i, b in enumerate(BANDS):
+        rows[f"{b}_mag"] = mags[:, i] + rng.normal(0, 0.02, len(truths))
+        rows[f"{b}_mag_unc"] = 0.02
+    rows["Teff"] = np.asarray(Teff) + rng.normal(0, 50, len(truths))
+    rows["Teff_unc"] = 80.0
+    rows["logg"] = np.asarray(logg) + rng.normal(0, 0.03, len(truths))
+    rows["logg_unc"] = 0.05
+    rows["parallax"] = 1000.0 / truths.distance.values
+    rows["parallax_unc"] = 0.05
+    cat = StarCatalog(pd.DataFrame(rows), bands=BANDS, props=("Teff", "logg", "parallax"))
+    return iso, cat, truths
+
+
+def test_batch_lnpost_matches_single(setup):
+    """Batched lnpost row i == SingleStarModel lnpost built from star i."""
+    iso, cat, truths = setup
+    fitter = BatchStarFitter(iso, cat)
+    S = fitter.n_stars
+    pars = np.stack(
+        [truths.eep.values, truths.age.values, truths.feh.values,
+         truths.distance.values, truths.AV.values], axis=-1
+    )[:, None, :]
+    batch_lnp = np.asarray(fitter.lnpost_batch(jnp.asarray(pars)))[:, 0]
+
+    for i in range(S):
+        row = cat.df.iloc[i]
+        m = SingleStarModel(
+            iso,
+            Teff=(row["Teff"], row["Teff_unc"]),
+            logg=(row["logg"], row["logg_unc"]),
+            parallax=(row["parallax"], row["parallax_unc"]),
+            maxAV=1.0,
+            **{b: (row[f"{b}_mag"], row[f"{b}_mag_unc"]) for b in BANDS},
+        )
+        single = m.lnpost(pars[i, 0])
+        assert np.isclose(batch_lnp[i], single, atol=1e-6), (i, batch_lnp[i], single)
+
+
+def test_batch_fit_recovers_truths(setup):
+    iso, cat, truths = setup
+    fitter, summary = fit_catalog(iso, cat, nwalkers=64, nburn=500, niter=100, seed=1)
+    # each truth within ~4 posterior sigma (obs have injected noise, so the
+    # posterior median legitimately scatters around the truth)
+    for i, p in enumerate(("eep", "age", "feh", "distance", "AV")):
+        med = summary[f"{p}_50"].values
+        sigma = 0.5 * (summary[f"{p}_84"].values - summary[f"{p}_16"].values)
+        dev = np.abs(med - truths[p].values)
+        assert (dev < np.maximum(4 * sigma, 1e-3)).all(), (p, dev, sigma)
+    # medians also absolutely close for the tightly constrained params
+    assert (np.abs(summary["distance_50"].values - truths.distance.values) < 15).all()
+    assert (np.abs(summary["age_50"].values - truths.age.values) < 0.3).all()
+    # quantile ordering sane
+    assert (summary["eep_16"] <= summary["eep_50"]).all()
+    assert (summary["eep_50"] <= summary["eep_84"]).all()
+
+
+def test_batch_requires_iso(setup):
+    iso, cat, _ = setup
+    with pytest.raises(ValueError):
+        BatchStarFitter(iso.track, cat)
