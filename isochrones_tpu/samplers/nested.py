@@ -42,13 +42,13 @@ class NestedResult(NamedTuple):
     ess: float = np.nan  # effective sample size of the posterior weights
 
 
-def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_chains, n_repeat):
+def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_groups, n_chains, n_repeat):
     """Random-walk exploration of {u : lnlike(u) > lnl_star} in the unit cube.
 
-    Runs n_chains chains from `start` points; returns one accepted sample
-    (random among chains that moved) plus the observed acceptance rate.
+    Runs ``n_groups * n_chains`` chains (one likelihood batch); per group,
+    returns one accepted sample (random among that group's moved chains)
+    plus the overall acceptance rate. start: (n_groups * n_chains, dim).
     """
-    n_dim = start.shape[-1]
 
     def step(carry, _):
         key, x, lnl, n_acc = carry
@@ -65,44 +65,62 @@ def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_chains
         lnl = jnp.where(ok, lnl_prop, lnl)
         return (key, x, lnl, n_acc + ok.astype(jnp.int32)), None
 
+    total = n_groups * n_chains
     (key, xf, lnlf, n_acc), _ = jax.lax.scan(
-        step, (key, start, lnl_start, jnp.zeros(n_chains, dtype=jnp.int32)), None, length=n_repeat
+        step, (key, start, lnl_start, jnp.zeros(total, dtype=jnp.int32)), None, length=n_repeat
     )
-    moved = n_acc > 0
-    # random pick among moved chains (fallback: chain 0 start point, a survivor)
+    moved = (n_acc > 0).reshape(n_groups, n_chains)
+    # random pick among each group's moved chains (fallback: a start point,
+    # which is a survivor)
     key, k_pick = jax.random.split(key)
-    scores = jax.random.uniform(k_pick, (n_chains,)) + moved.astype(xf.dtype)
-    pick = jnp.argmax(scores)
-    accept_rate = jnp.sum(n_acc) / (n_chains * n_repeat)
-    return xf[pick], lnlf[pick], moved[pick], accept_rate
+    scores = jax.random.uniform(k_pick, (n_groups, n_chains)) + moved.astype(xf.dtype)
+    pick = jnp.argmax(scores, axis=1)  # (n_groups,)
+    xf = xf.reshape(n_groups, n_chains, -1)
+    lnlf = lnlf.reshape(n_groups, n_chains)
+    rows = jnp.arange(n_groups)
+    accept_rate = jnp.sum(n_acc) / (total * n_repeat)
+    return xf[rows, pick], lnlf[rows, pick], moved[rows, pick], accept_rate
 
 
-@partial(jax.jit, static_argnames=("lnlike_u", "n_live", "n_iter", "n_chains", "n_repeat"))
-def _nested_core(lnlike_u, u0, lnl0, key, scale0, n_live, n_iter, n_chains, n_repeat):
+@partial(jax.jit, static_argnames=("lnlike_u", "n_live", "n_iter", "n_chains", "n_repeat", "n_batch"))
+def _nested_core(lnlike_u, u0, lnl0, key, scale0, n_live, n_iter, n_chains, n_repeat, n_batch=1):
+    """``n_iter`` scan steps, each removing the ``n_batch`` worst live points
+    and replacing them with constrained-walk draws above the highest removed
+    likelihood (n_batch=1 is classic NS; larger batches trade a slightly
+    coarser shrinkage schedule — well within the ln Z error — for a
+    ``n_batch``-times fatter likelihood batch per device dispatch)."""
+    K = n_batch
+
     def one_iter(carry, _):
         key, live_u, live_lnl, scale = carry
-        worst = jnp.argmin(live_lnl)
-        lnl_star = live_lnl[worst]
-        dead_u = live_u[worst]
+        neg_vals, worst_idx = jax.lax.top_k(-live_lnl, K)  # K smallest lnl, ascending
+        dead_lnl = -neg_vals  # (K,) ascending
+        dead_u = live_u[worst_idx]
+        lnl_star = dead_lnl[-1]  # largest removed: the batch threshold
 
         key, k_start, k_walk = jax.random.split(key, 3)
-        starts = jax.random.randint(k_start, (n_chains,), 0, n_live)
-        # avoid seeding from the worst point itself
-        starts = jnp.where(starts == worst, (starts + 1) % n_live, starts)
+        # seed walks from survivors only: positions K.. of the sorted order
+        order = jnp.argsort(live_lnl)
+        pick = jax.random.randint(k_start, (K * n_chains,), K, n_live)
+        starts = order[pick]
         x0 = live_u[starts]
         l0 = live_lnl[starts]
         new_u, new_lnl, moved, acc = _constrained_walk(
-            lnlike_u, k_walk, x0, l0, lnl_star, scale, n_chains, n_repeat
+            lnlike_u, k_walk, x0, l0, lnl_star, scale, K, n_chains, n_repeat
         )
-        live_u = live_u.at[worst].set(new_u)
-        live_lnl = live_lnl.at[worst].set(new_lnl)
+        live_u = live_u.at[worst_idx].set(new_u)
+        live_lnl = live_lnl.at[worst_idx].set(new_lnl)
         # adapt scale toward ~35% acceptance
         scale = jnp.clip(scale * jnp.exp(0.7 * (acc - 0.35)), 1e-5, 1.0)
-        return (key, live_u, live_lnl, scale), (dead_u, lnl_star)
+        return (key, live_u, live_lnl, scale), (dead_u, dead_lnl)
 
     (key, live_u, live_lnl, scale), (dead_u, dead_lnl) = jax.lax.scan(
         one_iter, (key, u0, lnl0, scale0), None, length=n_iter
     )
+    # (n_iter, K, ...) -> (n_iter * K, ...), preserving ascending-lnl order
+    # within each batch (the host evidence assembly assigns ln X_i = -i/n)
+    dead_u = dead_u.reshape(-1, dead_u.shape[-1])
+    dead_lnl = dead_lnl.reshape(-1)
     return dead_u, dead_lnl, live_u, live_lnl, key, scale
 
 
@@ -117,6 +135,7 @@ def run_nested(
     n_repeat: int = 24,
     n_equal: int = 4000,
     dlogz: float = 0.01,
+    n_batch: int = 1,
     rng=None,
 ) -> NestedResult:
     """Nested-sampling fit.
@@ -126,8 +145,13 @@ def run_nested(
     dlogz : evidence-based termination — stop when the remaining live-point
         contribution to the evidence drops below this fraction (the MultiNest
         ``evidence_tolerance`` role). ``max_iter`` is a hard cap on top.
+    n_batch : live points replaced per step (1 = classic NS). Larger batches
+        keep an accelerator busy: the per-dispatch likelihood batch grows
+        ``n_batch``-fold while the shrinkage schedule coarsens by at most
+        n_batch/n_live per step (use n_batch << n_live).
     """
     hard_cap = max_iter if max_iter is not None else 1000 * n_live
+    n_batch = max(1, min(int(n_batch), n_live // 4))
 
     def lnlike_u(u):
         return lnpost_u(prior_transform(u))
@@ -162,19 +186,21 @@ def run_nested(
     # compiled lax.scan (shape-stable -> compiled once); between chunks the
     # host checks whether the remaining live-point mass still matters.
     chunk = max(n_live, 256)
+    chunk_steps = max(chunk // n_batch, 8)  # scan steps per compiled chunk
     live_u_j = jnp.asarray(u0)
     live_lnl_j = jnp.asarray(lnl0)
     scale = jnp.asarray(0.1, dtype=live_u_j.dtype)
     dead_u_chunks, dead_lnl_chunks = [], []
     n_dead_total = 0
     while n_dead_total < hard_cap:
-        n_this = min(chunk, hard_cap - n_dead_total)
+        n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
         du, dl, live_u_j, live_lnl_j, key, scale = _nested_core(
-            lnlike_u, live_u_j, live_lnl_j, key, scale, n_live, n_this, n_chains, n_repeat
+            lnlike_u, live_u_j, live_lnl_j, key, scale, n_live, n_steps,
+            n_chains, n_repeat, n_batch=n_batch,
         )
         dead_u_chunks.append(np.asarray(du))
         dead_lnl_chunks.append(np.asarray(dl))
-        n_dead_total += n_this
+        n_dead_total += n_steps * n_batch
 
         # termination: remaining evidence bound vs accumulated evidence
         all_dl = np.concatenate(dead_lnl_chunks)
