@@ -224,12 +224,26 @@ class StarClusterModel(BasicStarModel):
                 mass_lo, mass_hi, minq, valid=valid,
             )
 
+        n_eep_total = int(maxeep - mineep) + 1
+        # memory-bounded chunked vmap: each walker needs a (Nstars, Neep^2)
+        # grid; cap the in-flight element count at ~2^27 (1 GB f64)
+        per_walker = max(n_stars * n_eep_total * n_eep_total, 1)
+        max_parallel = max(1, (1 << 27) // per_walker)
+
         def lnlike_batch(p):
             if p.ndim == 1:
                 return lnlike_one(p)
             flat = p.reshape(-1, p.shape[-1])
-            # lax.map bounds peak memory at one (Nstars, Neep^2) grid per step
-            out = jax.lax.map(lnlike_one, flat)
+            B = flat.shape[0]
+            if B <= max_parallel:
+                out = jax.vmap(lnlike_one)(flat)
+            else:
+                n_chunks = -(-B // max_parallel)
+                pad = n_chunks * max_parallel - B
+                padded = jnp.concatenate([flat, jnp.broadcast_to(flat[:1], (pad, flat.shape[-1]))])
+                out = jax.lax.map(
+                    jax.vmap(lnlike_one), padded.reshape(n_chunks, max_parallel, -1)
+                ).reshape(-1)[:B]
             return out.reshape(p.shape[:-1])
 
         return lnlike_batch

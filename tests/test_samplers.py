@@ -95,3 +95,29 @@ def test_nested_bimodal():
     labels = (res.posterior[:, 0] > 0).astype(int)
     frac = labels.mean()
     assert 0.2 < frac < 0.8  # both modes populated
+
+
+def test_nested_batched_replacement_matches():
+    """n_batch > 1 (batched-K live-point replacement) reproduces the analytic
+    evidence and posterior moments of the sequential sampler."""
+    sigma = 0.1
+    lo, hi = -1.0, 1.0
+
+    def lnpost_v(x):
+        return -0.5 * jnp.sum((x / sigma) ** 2, axis=-1) - x.shape[-1] * 0.5 * np.log(
+            2 * np.pi * sigma ** 2
+        )
+
+    def prior_transform(u):
+        return lo + (hi - lo) * u
+
+    n_params = 2
+    res = run_nested(
+        lnpost_v, prior_transform, n_params, key=jax.random.PRNGKey(5),
+        n_live=400, max_iter=4000, n_batch=8, rng=7,
+    )
+    expected = np.log(1.0 / (hi - lo) ** n_params)
+    assert res.logz == pytest.approx(expected, abs=max(3 * res.logzerr, 0.12))
+    assert np.abs(res.posterior.mean(axis=0)).max() < 0.02
+    np.testing.assert_allclose(res.posterior.std(axis=0), sigma, rtol=0.15)
+    assert res.ess > 300
