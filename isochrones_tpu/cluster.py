@@ -164,7 +164,14 @@ class StarClusterModel(BasicStarModel):
         band_icols = tuple(bc.column_index[b] for b in self.bands)
         mass_lo, mass_hi = self.bounds("mass")
         minq = self.minq
-        mag_vals = jnp.asarray(np.stack([v for _, (v, u) in self.stars.iter_bands()], axis=-1))
+        mag_vals_np = np.stack([v for _, (v, u) in self.stars.iter_bands()], axis=-1)
+        if np.isnan(mag_vals_np).any():
+            getLogger().warning(
+                "StarClusterModel: %d stars have NaN photometry; the cluster "
+                "likelihood will be -inf everywhere. Drop those rows.",
+                int(np.isnan(mag_vals_np).any(axis=1).sum()),
+            )
+        mag_vals = jnp.asarray(mag_vals_np)
         mag_uncs = jnp.asarray(np.stack([u for _, (v, u) in self.stars.iter_bands()], axis=-1))
         prop_list = [(p, np.asarray(v), np.asarray(u)) for p, (v, u) in self.stars.iter_props()]
         prop_icols = {p: ci[p] for p, _, _ in prop_list if p != "parallax"}
@@ -343,7 +350,26 @@ class SimulatedCluster(StarCatalog):
         sec = pri * qs * is_binary
         sec[(sec < 0.1) & (sec > 0)] = 0.1
         distances = distance + r.standard_normal(N) * self.distance_scatter
-        return self._simulate_stars(age, is_binary, pri, sec, distances)
+        stars = self._simulate_stars(age, is_binary, pri, sec, distances)
+
+        # redraw dead stars (mass evolved past its track end at this age ->
+        # NaN photometry; one NaN row poisons the whole cluster likelihood)
+        band_cols = [f"{b}_mag" for b in self.bands]
+        for _ in range(100):
+            bad = stars[band_cols].isna().any(axis=1).values
+            if not bad.any():
+                break
+            nb = int(bad.sum())
+            is_binary[bad] = r.random(nb) < fB
+            pri[bad] = PowerLawPrior(alpha, self.mass_range).sample(nb, rng=r)
+            q_new = PowerLawPrior(gamma, (0.2, 1)).sample(nb, rng=r)
+            sec[bad] = pri[bad] * q_new * is_binary[bad]
+            sec[(sec < 0.1) & (sec > 0)] = 0.1
+            distances[bad] = distance + r.standard_normal(nb) * self.distance_scatter
+            stars = self._simulate_stars(age, is_binary, pri, sec, distances)
+        else:
+            getLogger().warning("SimulatedCluster: NaN photometry rows remain after redraws")
+        return stars
 
     def _simulate_stars(self, age, is_binary, pri_masses, sec_masses, distances):
         import pandas as pd

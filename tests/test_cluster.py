@@ -171,3 +171,19 @@ def test_catalog_write_ini(tmp_path, sim):
     import os
 
     assert os.path.exists(os.path.join(dirs[0], "star.ini"))
+
+
+def test_simulated_cluster_no_dead_stars():
+    """Masses evolved past their track end must be redrawn: NaN photometry
+    rows poison the whole cluster likelihood."""
+    ic = get_ichrone("synthetic", n_feh=7, n_mass=30, n_eep=100, n_age=30)
+    sim = SimulatedCluster(
+        40, age=9.6, feh=0.0, distance=400.0, AV=0.05, alpha=-2.0, gamma=0.3, fB=0.3,
+        bands=("J", "H", "K"), mass_range=(0.5, 9.0),  # top masses dead at this age
+        ic=ic, rng=3, phot_unc=0.02,
+    )
+    mags = sim.df[["J_mag", "H_mag", "K_mag"]]
+    assert not mags.isna().any(axis=1).any()
+    model = StarClusterModel(ic, sim, eep_bounds=(1, 99), max_distance=2000, minq=0.2)
+    ll = model.lnlike([9.6, 0.0, 400.0, 0.05, -2.0, 0.3, 0.3])
+    assert np.isfinite(ll)
