@@ -120,7 +120,18 @@ def compute_axis_maps(knots, rtol=1e-5) -> Tuple:
             continue
         d = np.diff(k)
         if np.allclose(d, d[0], rtol=rtol, atol=0.0) and d[0] > 0:
-            maps.append(("affine", float(k[0]), float(d[0])))
+            step = float(d[0])
+            lo0 = float(k[0])
+            # bit-exact ladder (e.g. the integer EEP axis): gather-free path
+            exact32 = np.array_equal(
+                k.astype(np.float32),
+                (np.float32(lo0) + np.arange(len(k), dtype=np.float32) * np.float32(step)),
+            )
+            exact64 = np.array_equal(k, lo0 + np.arange(len(k)) * step)
+            if exact32 and exact64:
+                maps.append(("exact_affine", lo0, step))
+            else:
+                maps.append(("affine", lo0, step))
             continue
         if (k > 0).all():
             ld = np.diff(np.log(k))
@@ -148,6 +159,22 @@ def find_cells_1d(knots: jnp.ndarray, x: jnp.ndarray, axis_map=None):
 
     if axis_map is not None and n > 1:
         kind, lo0, step = axis_map
+        if kind == "exact_affine":
+            # knots are BIT-exactly lo0 + i*step (verified at build time):
+            # fully gather-free. floor() may land one cell low near a knot
+            # (division rounding), giving t ~= 1.0 instead of 0.0 — the lerp
+            # endpoints are bit-exact either way, so values are identical.
+            raw = (x - lo0) / step
+            cell = jnp.clip(jnp.floor(raw).astype(jnp.int32), 0, n - 2)
+            lo = lo0 + cell.astype(x.dtype) * step
+            t = (x - lo) / step
+            # one arithmetic fix-up (no gathers): keep t in [0, 1)
+            shift_up = t >= 1.0
+            shift_dn = t < 0.0
+            cell = jnp.clip(cell + shift_up.astype(jnp.int32) - shift_dn.astype(jnp.int32), 0, n - 2)
+            lo = lo0 + cell.astype(x.dtype) * step
+            t = (x - lo) / step
+            return cell, t, oob
         xs = jnp.log(jnp.maximum(x, 1e-300)) if kind == "log" else x
         raw = (xs - lo0) / step
         cell = jnp.clip(jnp.floor(raw).astype(jnp.int32), 0, n - 2)
