@@ -1,7 +1,12 @@
 """On-device inference engines (L4) replacing the reference's external
-samplers: emcee -> run_ensemble, MultiNest/PolyChord -> run_nested."""
+samplers: emcee -> run_ensemble (+run_ensemble_batch for whole catalogs),
+MultiNest/PolyChord -> run_nested, and a from-scratch NUTS -> run_nuts."""
 
-from .ensemble import EnsembleState, autocorr_time, run_ensemble
+from .ensemble import EnsembleState, autocorr_time, run_ensemble, run_ensemble_batch
 from .nested import NestedResult, run_nested
+from .nuts import NutsResult, run_nuts
 
-__all__ = ["EnsembleState", "run_ensemble", "autocorr_time", "NestedResult", "run_nested"]
+__all__ = [
+    "EnsembleState", "run_ensemble", "run_ensemble_batch", "autocorr_time",
+    "NestedResult", "run_nested", "NutsResult", "run_nuts",
+]
