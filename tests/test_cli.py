@@ -1,0 +1,98 @@
+"""CLI end-to-end tests (in-process main() invocations, tiny budgets)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def star_folder(tmp_path):
+    folder = tmp_path / "mystar"
+    folder.mkdir()
+    (folder / "star.ini").write_text(
+        "RA = 10.0\ndec = 20.0\n"
+        "Teff = 6460, 100.0\nlogg = 3.56, 0.1\nparallax = 5.0, 0.05\n\n"
+        "[twomass]\nJ = 6.80, 0.02\nH = 6.54, 0.02\nK = 6.44, 0.02\n"
+    )
+    return str(folder)
+
+
+def test_starfit_cli(star_folder):
+    from isochrones_tpu.cli.starfit import main
+
+    rc = main([
+        star_folder, "--models", "synthetic", "--n_live_points", "60",
+        "--max_iter", "400", "--seed", "1", "--no_plots",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(star_folder, "synthetic_starmodel_single.h5"))
+    assert os.path.exists(os.path.join(star_folder, "starfit.log"))
+
+    # rerun without overwrite -> skip (file survives)
+    mtime = os.path.getmtime(os.path.join(star_folder, "synthetic_starmodel_single.h5"))
+    rc = main([star_folder, "--models", "synthetic", "--no_plots"])
+    assert rc == 0
+    assert os.path.getmtime(os.path.join(star_folder, "synthetic_starmodel_single.h5")) == mtime
+
+
+def test_select_and_summarize_cli(star_folder, tmp_path, capsys):
+    from isochrones_tpu.cli.select import main as select_main
+    from isochrones_tpu.cli.starfit import main as starfit_main
+    from isochrones_tpu.cli.summarize import main as summarize_main
+
+    starfit_main([
+        star_folder, "--models", "synthetic", "--n_live_points", "60",
+        "--max_iter", "400", "--seed", "1", "--no_plots",
+    ])
+    rc = select_main([star_folder, "--models", "synthetic"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "delta_lnZ" in out
+
+    outfile = str(tmp_path / "summary.csv")
+    rc = summarize_main([
+        os.path.basename(star_folder), "--rootdir", os.path.dirname(star_folder),
+        "--modelname", "synthetic_starmodel_single", "-O", outfile,
+    ])
+    assert rc == 0
+    import pandas as pd
+
+    df = pd.read_csv(outfile, index_col=0)
+    assert "eep_50" in df.columns
+    assert np.isfinite(df["eep_50"]).all()
+
+
+def test_generate_cmd_and_fit_catalog_cli(tmp_path):
+    from isochrones_tpu.cli.fit_catalog import main as fit_main
+    from isochrones_tpu.cli.generate_cmd import main as gen_main
+
+    cmd_file = str(tmp_path / "cmd.csv")
+    rc = gen_main(["16", "--models", "synthetic", "--seed", "3", "-O", cmd_file])
+    assert rc == 0
+    assert os.path.exists(cmd_file)
+
+    out_file = str(tmp_path / "fits.csv")
+    rc = fit_main([
+        cmd_file, "--models", "synthetic", "--props", "parallax",
+        "--nwalkers", "32", "--nburn", "100", "--niter", "30", "--seed", "0",
+        "-O", out_file,
+    ])
+    assert rc == 0
+    import pandas as pd
+
+    df = pd.read_csv(out_file, index_col=0)
+    assert len(df) == 16
+    assert (df["distance_16"] <= df["distance_84"]).all()
+
+
+def test_batch_starfit_script(tmp_path):
+    from isochrones_tpu.starfit import batch_starfit_script
+
+    listfile = str(tmp_path / "folders.txt")
+    with open(listfile, "w") as f:
+        f.write("star1\nstar2\nstar3\n")
+    script = batch_starfit_script(listfile, ntasks_per_node=2, minutes_per_fit=5)
+    text = open(script).read()
+    assert "#SBATCH" in text
+    assert "xargs starfit" in text
