@@ -67,10 +67,15 @@ class StarClusterModel(BasicStarModel):
         mass_bounds=None,
         minq=0.1,
         directory=".",
+        mesh=None,
         **kwargs,
     ):
         self._jit_cache: Dict[str, object] = {}
         self._ic = ic
+        #: optional jax.sharding.Mesh — shards the STAR axis across devices
+        #: (each chip owns a block of stars' (Neep, Neep) grids; the total
+        #: lnlike is a psum of scalars over ICI). SURVEY §2.8/§5 sharding axis.
+        self.mesh = mesh
         if not isinstance(stars, StarCatalog):
             stars = StarCatalog(stars, **kwargs)
         self.stars = stars
@@ -171,22 +176,51 @@ class StarClusterModel(BasicStarModel):
                 "likelihood will be -inf everywhere. Drop those rows.",
                 int(np.isnan(mag_vals_np).any(axis=1).sum()),
             )
-        mag_vals = jnp.asarray(mag_vals_np)
-        mag_uncs = jnp.asarray(np.stack([u for _, (v, u) in self.stars.iter_bands()], axis=-1))
         prop_list = [(p, np.asarray(v), np.asarray(u)) for p, (v, u) in self.stars.iter_props()]
         prop_icols = {p: ci[p] for p, _, _ in prop_list if p != "parallax"}
-        n_stars = mag_vals.shape[0]
+        prop_meta = [(p == "parallax", prop_icols.get(p)) for p, _, _ in prop_list]
+        n_stars = mag_vals_np.shape[0]
 
-        def lnlike_one(p):
+        # stack per-star observation arrays (star axis leading for sharding)
+        mag_uncs_np = np.stack([u for _, (v, u) in self.stars.iter_bands()], axis=-1)
+        if prop_list:
+            prop_vals_np = np.stack([v for _, v, _ in prop_list], axis=-1)  # (S, n_props)
+            prop_uncs_np = np.stack([u for _, _, u in prop_list], axis=-1)
+        else:
+            prop_vals_np = np.zeros((n_stars, 0))
+            prop_uncs_np = np.ones((n_stars, 0))
+        star_w_np = np.ones(n_stars)
+
+        mesh = self.mesh
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            n_dev = mesh.shape[axis]
+            pad = (-n_stars) % n_dev
+            if pad:  # ghost stars with zero weight
+                mag_vals_np = np.concatenate([mag_vals_np, np.zeros((pad, mag_vals_np.shape[1]))])
+                mag_uncs_np = np.concatenate([mag_uncs_np, np.ones((pad, mag_uncs_np.shape[1]))])
+                prop_vals_np = np.concatenate([prop_vals_np, np.zeros((pad, prop_vals_np.shape[1]))])
+                prop_uncs_np = np.concatenate([prop_uncs_np, np.ones((pad, prop_uncs_np.shape[1]))])
+                star_w_np = np.concatenate([star_w_np, np.zeros(pad)])
+
+        mag_vals = jnp.asarray(mag_vals_np)
+        mag_uncs = jnp.asarray(mag_uncs_np)
+        prop_vals = jnp.asarray(prop_vals_np)
+        prop_uncs = jnp.asarray(prop_uncs_np)
+        star_w = jnp.asarray(star_w_np)
+
+        from .ops.cluster import calc_lnlike_grid, integrate_over_eeps
+
+        def block_lnlike(p, mv, mu, pv, pu, w):
+            """Cluster lnlike over one block of stars. The EEP-ladder model
+            evaluations are star-independent (duplicated per shard; cheap)."""
             age, feh, distance, AV, alpha, gamma, fB = (p[i] for i in range(7))
             n_eep = eeps.shape[0]
-            # user order (eep, age, feh) -> grid order via io
             user = [eeps, jnp.broadcast_to(age, (n_eep,)), jnp.broadcast_to(feh, (n_eep,))]
             grid_pts = jnp.stack([user[io[0]], user[io[1]], user[io[2]]], axis=-1)
             mvals = interp_nd(model.values, model.knots, grid_pts, icols=(i_mass, i_dm), axis_maps=model.axis_maps)
             masses = mvals[..., 0]
-            dm = mvals[..., 1]
-            ln_dm = jnp.log(jnp.abs(dm))
+            ln_dm = jnp.log(jnp.abs(mvals[..., 1]))
 
             pts5 = jnp.stack(
                 [
@@ -202,16 +236,16 @@ class StarClusterModel(BasicStarModel):
                 pts5, io, ic.model_packed, ic._packed_icols, bc, band_icols
             )  # (Neep, Nbands)
 
-            # per-star property lnlike matrix (Nstars, Neep)
+            # per-star property lnlike matrix (S_block, Neep)
             # (reference cluster.py:316-325; constant-free Gaussians)
-            lnlike_prop = jnp.zeros((n_stars, n_eep), dtype=p.dtype)
-            for prop, vals, uncs in prop_list:
-                if prop == "parallax":
+            n_blk = mv.shape[0]
+            lnlike_prop = jnp.zeros((n_blk, n_eep), dtype=p.dtype)
+            for j, (is_plax, icol) in enumerate(prop_meta):
+                if is_plax:
                     model_v = jnp.broadcast_to(1000.0 / distance, (n_eep,))
                 else:
-                    icol = prop_icols[prop]
                     model_v = interp_nd(model.values, model.knots, grid_pts, icols=(icol,), axis_maps=model.axis_maps)[..., 0]
-                z = (jnp.asarray(vals)[:, None] - model_v[None, :]) / jnp.asarray(uncs)[:, None]
+                z = (pv[:, j : j + 1] - model_v[None, :]) / pu[:, j : j + 1]
                 lnlike_prop = lnlike_prop - 0.5 * z * z
 
             valid = (
@@ -222,14 +256,49 @@ class StarClusterModel(BasicStarModel):
                 & (masses <= mass_hi)
             )
             lnlike_prop = jnp.nan_to_num(lnlike_prop, nan=-jnp.inf)
-            ln_dm = jnp.where(valid, ln_dm, 0.0)
+            ln_dm_safe = jnp.where(valid, ln_dm, 0.0)
             masses_safe = jnp.where(valid, masses, 1.0)
 
-            return cluster_lnlike(
+            grid = calc_lnlike_grid(
                 lnlike_prop, jnp.where(valid[:, None], model_mags, 0.0), masses_safe,
-                ln_dm, eeps, mag_vals, mag_uncs, alpha, gamma, fB,
-                mass_lo, mass_hi, minq, valid=valid,
+                ln_dm_safe, mv, mu, alpha, gamma, fB, mass_lo, mass_hi, minq, valid=valid,
             )
+            like_tot = integrate_over_eeps(grid, eeps)  # (S_block,)
+            ok = w > 0
+            logs = jnp.where(ok, jnp.log(jnp.maximum(like_tot, 1e-300)), 0.0)
+            partial = jnp.sum(logs)
+            n_bad = jnp.sum(ok & ((like_tot <= 0) | jnp.isnan(like_tot)))
+            return partial, n_bad
+
+        if mesh is None:
+            def lnlike_one(p):
+                partial, n_bad = block_lnlike(p, mag_vals, mag_uncs, prop_vals, prop_uncs, star_w)
+                return jnp.where(n_bad > 0, -jnp.inf, partial)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            axis = mesh.axis_names[0]
+
+            def shard_fn(p, mv, mu, pv, pu, w):
+                partial, n_bad = block_lnlike(p, mv, mu, pv, pu, w)
+                partial = jax.lax.psum(partial, axis)
+                n_bad = jax.lax.psum(n_bad, axis)
+                return jnp.where(n_bad > 0, -jnp.inf, partial)
+
+            sharded = shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(axis, None), P(axis, None), P(axis, None), P(axis, None), P(axis)),
+                out_specs=P(),
+            )
+
+            def lnlike_one(p):
+                return sharded(p, mag_vals, mag_uncs, prop_vals, prop_uncs, star_w)
 
         n_eep_total = int(maxeep - mineep) + 1
         # memory-bounded chunked vmap: each walker needs a (Nstars, Neep^2)

@@ -89,9 +89,13 @@ def calc_lnlike_grid(
         mix = jnp.logaddexp(jnp.log(fB) + lnlike_binary, jnp.log(1.0 - fB) + lnlike_single)
         return acc + mix
 
-    lnlike_phot = jax.lax.fori_loop(
-        0, n_bands, band_term, jnp.zeros((n_stars, n_eep, n_eep), dtype=dt)
+    # init carry derived from mag_values so it inherits any shard_map
+    # "varying" axis of the star dimension (a plain jnp.zeros is replicated
+    # and the loop would mix varying/replicated carries)
+    acc0 = jnp.zeros_like(mag_values[:, 0]).astype(dt)[:, None, None] + jnp.zeros(
+        (n_eep, n_eep), dtype=dt
     )
+    lnlike_phot = jax.lax.fori_loop(0, n_bands, band_term, acc0)
 
     q = safe_masses[None, :] / safe_masses[:, None]  # (Neep_j, Neep_k): m_k / m_j
     lnlike_mass = _powerlaw_lnpdf(safe_masses, alpha, mass_lo, mass_hi) + ln_dm_deeps  # (Neep,)

@@ -187,3 +187,29 @@ def test_simulated_cluster_no_dead_stars():
     model = StarClusterModel(ic, sim, eep_bounds=(1, 99), max_distance=2000, minq=0.2)
     ll = model.lnlike([9.6, 0.0, 400.0, 0.05, -2.0, 0.3, 0.3])
     assert np.isfinite(ll)
+
+
+def test_cluster_star_sharding(sim):
+    """Star-sharded cluster lnlike over an 8-device mesh == unsharded
+    (30 stars -> 2 ghost-star pads)."""
+    from isochrones_tpu.parallel import default_mesh
+
+    mesh = default_mesh(8, axis_names=("stars",))
+    plain = StarClusterModel(sim.ic, sim, eep_bounds=(1, 95), max_distance=2000, minq=0.2)
+    sharded = StarClusterModel(sim.ic, sim, eep_bounds=(1, 95), max_distance=2000,
+                               minq=0.2, mesh=mesh)
+    for p in (
+        [9.0, 0.0, 500.0, 0.05, -2.0, 0.3, 0.3],
+        [8.8, -0.1, 480.0, 0.1, -2.5, 0.35, 0.2],
+    ):
+        a = plain.lnlike(p)
+        b = sharded.lnlike(p)
+        assert np.isclose(a, b, rtol=1e-10), (a, b)
+    # batched path too
+    batch = np.array([[9.0, 0.0, 500.0, 0.05, -2.0, 0.3, 0.3],
+                      [8.9, 0.05, 510.0, 0.08, -2.2, 0.28, 0.25]])
+    np.testing.assert_allclose(
+        np.asarray(sharded.lnpost_batch(jnp.asarray(batch))),
+        np.asarray(plain.lnpost_batch(jnp.asarray(batch))),
+        rtol=1e-10,
+    )
