@@ -133,6 +133,14 @@ class Grid:
         return self._interp
 
     @property
+    def interp_orig(self):
+        """Interpolator over the un-standardized table (reference grid.py:139-144)."""
+        if self._interp_orig is None:
+            filename = getattr(self, "interp_grid_orig_npz_filename", None)
+            self._interp_orig = GridInterpolator(self.df_orig, filename=filename, is_full=self.is_full)
+        return self._interp_orig
+
+    @property
     def grid_data(self):
         return self.interp.grid_data
 
