@@ -138,6 +138,11 @@ def compute_axis_maps(knots, rtol=1e-5) -> Tuple:
             if np.allclose(ld, ld[0], rtol=rtol, atol=0.0) and ld[0] > 0:
                 maps.append(("log", float(np.log(k[0])), float(ld[0])))
                 continue
+        if len(k) <= 256 and (np.diff(k) > 0).all():
+            # small irregular axis (BC Teff ladder, real-MIST mass ladder):
+            # one vectorized broadcast compare beats the searchsorted scan
+            maps.append(("compare", 0.0, 0.0))
+            continue
         maps.append(None)
     return tuple(maps)
 
@@ -174,6 +179,16 @@ def find_cells_1d(knots: jnp.ndarray, x: jnp.ndarray, axis_map=None):
             cell = jnp.clip(cell + shift_up.astype(jnp.int32) - shift_dn.astype(jnp.int32), 0, n - 2)
             lo = lo0 + cell.astype(x.dtype) * step
             t = (x - lo) / step
+            return cell, t, oob
+        if kind == "compare":
+            # small irregular axis: one vectorized (B, n) broadcast compare
+            # replaces the sequential searchsorted scan
+            cell = jnp.sum(x[..., None] >= knots, axis=-1).astype(jnp.int32) - 1
+            cell = jnp.clip(cell, 0, n - 2)
+            lo = knots[cell]
+            hi = knots[cell + 1]
+            denom = hi - lo
+            t = (x - lo) / jnp.where(denom == 0, jnp.ones_like(denom), denom)
             return cell, t, oob
         xs = jnp.log(jnp.maximum(x, 1e-300)) if kind == "log" else x
         raw = (xs - lo0) / step
