@@ -835,6 +835,25 @@ class BasicStarModel:
     def corner_physical(self, **kwargs):
         return self.corner_derived(self.physical_quantities, **kwargs)
 
+    def corner_plots(self, basename, **kwargs):
+        """Save physical+observed corner PNGs (reference starfit.py:128 usage).
+        Returns the two figures."""
+        import matplotlib.pyplot as plt
+
+        fig1 = self.corner_physical(**kwargs)
+        fig1.savefig(f"{basename}_physical.png")
+        fig2 = self.corner_observed(**kwargs)
+        fig2.savefig(f"{basename}_observed.png")
+        plt.close(fig1)
+        plt.close(fig2)
+        return fig1, fig2
+
+    def random_samples(self, n, rng=None):
+        """Random subsample of the posterior (reference starmodel.py:1050-1065)."""
+        rng = np.random.default_rng(rng)
+        inds = rng.integers(len(self.samples), size=int(n))
+        return self.samples.iloc[inds].reset_index(drop=True)
+
     def corner_observed(self, **kwargs):
         cols = self.observed_quantities
         truths = [self.kwargs[b][0] for b in self.bands] + [self.kwargs[p][0] for p in self.props]
