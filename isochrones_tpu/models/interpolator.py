@@ -44,6 +44,62 @@ def _broadcast_pars(pars, n):
     return jnp.asarray(stacked), scalar, b.shape
 
 
+#: Host-entry batch chunk: every host-facing call is evaluated in fixed
+#: (padded) chunks of this many rows, so (a) each wrapper compiles at most
+#: two programs ever (small exact shape + the chunk shape) regardless of
+#: request sizes, and (b) huge batches stay under the remote-compile
+#: service's request-size limit (1e6-row programs hit HTTP 413 there).
+HOST_CHUNK = 1 << 18
+
+
+def _chunked_rows(fn, points_np, n_chunk=HOST_CHUNK):
+    """Evaluate ``fn`` (jnp (B, k) -> array-or-tuple with leading B) over
+    fixed-size padded chunks of host rows; returns numpy outputs."""
+    B = points_np.shape[0]
+    if B <= n_chunk:
+        out = fn(jnp.asarray(points_np))
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o) for o in out)
+        return np.asarray(out)
+    outs = []
+    for start in range(0, B, n_chunk):
+        chunk = points_np[start : start + n_chunk]
+        if chunk.shape[0] < n_chunk:  # pad to the compiled chunk shape
+            pad = n_chunk - chunk.shape[0]
+            chunk = np.concatenate([chunk, np.broadcast_to(chunk[:1], (pad,) + chunk.shape[1:])])
+            out = fn(jnp.asarray(chunk))
+            if isinstance(out, tuple):
+                out = tuple(np.asarray(o)[: n_chunk - pad] for o in out)
+            else:
+                out = np.asarray(out)[: n_chunk - pad]
+        else:
+            out = fn(jnp.asarray(chunk))
+            if isinstance(out, tuple):
+                out = tuple(np.asarray(o) for o in out)
+            else:
+                out = np.asarray(out)
+        outs.append(out)
+    if isinstance(outs[0], tuple):
+        return tuple(np.concatenate([o[i] for o in outs]) for i in range(len(outs[0])))
+    return np.concatenate(outs)
+
+
+@partial(jax.jit, static_argnames=("eep0",))
+def _interp_eep_g(ages, fehs, masses, feh_knots, mass_knots, age_arrays, lengths, eep0):
+    return interp_eep(ages, fehs, masses, feh_knots, mass_knots, age_arrays, lengths, eep0=eep0)
+
+
+@partial(jax.jit, static_argnames=("icols", "io"))
+def _interp_value_g(model: GridData, points, icols, io):
+    grid_pts = jnp.stack([points[..., io[0]], points[..., io[1]], points[..., io[2]]], axis=-1)
+    return interp_nd(model.values, model.knots, grid_pts, icols=icols, axis_maps=model.axis_maps)
+
+
+@partial(jax.jit, static_argnames=("model_icols", "band_icols", "io"))
+def _interp_mag_g(model: GridData, bc: GridData, points, model_icols, band_icols, io):
+    return _interp_mag_kernel(points, io, model, model_icols, bc, band_icols)
+
+
 class ModelGridInterpolator:
     """Base interpolator joining a model grid and a BC grid.
 
@@ -189,33 +245,30 @@ class ModelGridInterpolator:
         return np.asarray(self.model.knots[ax.index("feh")])
 
     # -------------------------------------------------------------- core jit fns
-    @partial(jax.jit, static_argnames=("self", "icols"))
-    def _interp_value_jit(self, points, icols):
-        io = self._param_index_order
-        grid_pts = jnp.stack([points[..., io[0]], points[..., io[1]], points[..., io[2]]], axis=-1)
-        return interp_nd(self.model.values, self.model.knots, grid_pts, icols=icols, axis_maps=self.model.axis_maps)
-
-    @partial(jax.jit, static_argnames=("self", "band_icols"))
-    def _interp_mag_jit(self, points, band_icols):
-        return _interp_mag_kernel(
-            points, self._param_index_order, self.model_packed, self._packed_icols, self.bc, band_icols
-        )
+    # Grids are passed as pytree ARGUMENTS, never closure-captured: a captured
+    # device array becomes an embedded constant in the compiled program — the
+    # remote-compile service serializes it into every compile request (tens of
+    # MB per grid; >44MB requests are rejected outright with HTTP 413), and
+    # the compile cache can't be shared across interpolator instances.
 
     def interp_value_batch(self, points: jnp.ndarray, props=None) -> jnp.ndarray:
         """Jittable: (..., >=3) user-order params -> (..., n_props)."""
         icols = self.model.icols(props)
-        return self._interp_value_jit(points, icols)
+        return _interp_value_g(self.model, points, icols, self._param_index_order)
 
     def interp_mag_batch(self, points: jnp.ndarray, bands=None):
         """Jittable: (..., 5) user-order params -> (Teff, logg, feh, mags)."""
         band_icols = self._band_icols if bands is None else tuple(self.bc.column_index[b] for b in bands)
-        return self._interp_mag_jit(points, band_icols)
+        return _interp_mag_g(
+            self.model_packed, self.bc, points, self._packed_icols, band_icols,
+            self._param_index_order,
+        )
 
     # --------------------------------------------------------------- host wrappers
     def interp_value(self, pars, props=None):
         """reference: models.py:390-400"""
         points, scalar, shape = _broadcast_pars(pars, 3)
-        out = np.asarray(self.interp_value_batch(points, props))
+        out = _chunked_rows(lambda p: self.interp_value_batch(p, props), np.asarray(points))
         if scalar:
             return out[0]
         return out.reshape(shape + (out.shape[-1],))
@@ -223,8 +276,9 @@ class ModelGridInterpolator:
     def interp_mag(self, pars, bands=None):
         """reference: models.py:402-445; returns (Teff, logg, feh, mags)."""
         points, scalar, shape = _broadcast_pars(pars, 5)
-        Teff, logg, feh, mags = self.interp_mag_batch(points, bands)
-        Teff, logg, feh, mags = (np.asarray(x) for x in (Teff, logg, feh, mags))
+        Teff, logg, feh, mags = _chunked_rows(
+            lambda p: self.interp_mag_batch(p, bands), np.asarray(points)
+        )
         if scalar:
             return float(Teff[0]), float(logg[0]), float(feh[0]), mags[0]
         return (
@@ -317,7 +371,7 @@ class ModelGridInterpolator:
                 raise ValueError("No EEP support arrays on this grid")
             feh_knots, mass_knots, age_arrays, lengths = self.eep_support
             eep0 = float(np.asarray(self.model.knots[-1])[0])
-            fast = interp_eep(age, feh, mass, feh_knots, mass_knots, age_arrays, lengths, eep0=eep0)
+            fast = _interp_eep_g(age, feh, mass, feh_knots, mass_knots, age_arrays, lengths, eep0)
             if not accurate:
                 return fast
             i_age = self.model.column_index["age"]
@@ -334,8 +388,13 @@ class ModelGridInterpolator:
     def get_eep(self, mass, age, feh, accurate=False, **kwargs):
         b = np.broadcast(np.asarray(mass, dtype=float), np.asarray(age, dtype=float), np.asarray(feh, dtype=float))
         scalar = b.ndim == 0
-        m, a, f = (jnp.asarray(np.broadcast_to(np.asarray(x, dtype=float), b.shape).reshape(-1)) for x in (mass, age, feh))
-        out = np.asarray(self.get_eep_batch(m, a, f, accurate=accurate))
+        stacked = np.stack(
+            [np.broadcast_to(np.asarray(x, dtype=float), b.shape).reshape(-1) for x in (mass, age, feh)],
+            axis=-1,
+        )
+        out = _chunked_rows(
+            lambda p: self.get_eep_batch(p[:, 0], p[:, 1], p[:, 2], accurate=accurate), stacked
+        )
         if scalar:
             return float(out[0])
         return out.reshape(b.shape)
@@ -377,17 +436,17 @@ class ModelGridInterpolator:
             np.broadcast_to(np.asarray(x, dtype=float), shape).reshape(-1) for x in (mass, age, feh, distance, AV)
         )
         if eeps is None:
-            eeps_ = np.asarray(
-                self.get_eep_batch(jnp.asarray(mass_), jnp.asarray(age_), jnp.asarray(feh_), accurate=accurate)
+            eeps_ = _chunked_rows(
+                lambda p: self.get_eep_batch(p[:, 0], p[:, 1], p[:, 2], accurate=accurate),
+                np.stack([mass_, age_, feh_], axis=-1),
             )
         else:
             eeps_ = np.broadcast_to(np.asarray(eeps, dtype=float), shape).reshape(-1)
 
         prop_names = list(self.model.columns) if props == "all" else list(props)
-        pts5 = jnp.asarray(np.stack([mass_, eeps_, feh_, dist_, av_], axis=-1))
-        values = np.asarray(self.interp_value_batch(pts5, prop_names))
-        _, _, _, mags = self.interp_mag_batch(pts5, bands)
-        mags = np.asarray(mags)
+        pts5 = np.stack([mass_, eeps_, feh_, dist_, av_], axis=-1)
+        values = _chunked_rows(lambda p: self.interp_value_batch(p, prop_names), pts5)
+        _, _, _, mags = _chunked_rows(lambda p: self.interp_mag_batch(p, bands), pts5)
 
         columns = prop_names + [f"{b_}_mag" for b_ in bands]
         data = np.concatenate([values, mags], axis=-1)
@@ -398,9 +457,8 @@ class ModelGridInterpolator:
         df["requested_age"] = age_
 
         if all_As:
-            pts0 = jnp.asarray(np.stack([mass_, eeps_, feh_, dist_, np.zeros_like(av_)], axis=-1))
-            _, _, _, true_mags = self.interp_mag_batch(pts0, bands)
-            true_mags = np.asarray(true_mags)
+            pts0 = np.stack([mass_, eeps_, feh_, dist_, np.zeros_like(av_)], axis=-1)
+            _, _, _, true_mags = _chunked_rows(lambda p: self.interp_mag_batch(p, bands), pts0)
             for i, b_ in enumerate(bands):
                 df[f"A_{b_}"] = df[f"{b_}_mag"] - true_mags[:, i]
 
@@ -443,9 +501,9 @@ class ModelGridInterpolator:
         shape = b.shape if b.ndim else (1,)
         cols = list(self.model.columns)
         arrs = [np.broadcast_to(np.asarray(x, dtype=float), shape).reshape(-1) for x in (p1, p2, p3, distance, AV)]
-        pts = jnp.asarray(np.stack(arrs, axis=-1))
-        props = np.asarray(self.interp_value_batch(pts, cols))
-        _, _, _, mags = self.interp_mag_batch(pts, None)
+        pts = np.stack(arrs, axis=-1)
+        props = _chunked_rows(lambda p: self.interp_value_batch(p, cols), pts)
+        _, _, _, mags = _chunked_rows(lambda p: self.interp_mag_batch(p, None), pts)
         values = np.concatenate([props, np.asarray(mags)], axis=1)
         return pd.DataFrame(values, columns=cols + [f"{b_}_mag" for b_ in self.bands])
 

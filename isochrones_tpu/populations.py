@@ -128,12 +128,21 @@ class StarPopulation:
         population = self._draw(N, rng, accurate, **kwargs)
 
         if exact_N:
-            bad_inds = population["mass_0"].isnull()
+            # fixed-size redraw rounds: drawing exactly n_bad stars (the
+            # reference's loop, populations.py:125-161) compiles a fresh
+            # program per unique batch size; instead redraw full-N batches
+            # and fill invalid rows from their valid rows
+            bad = population["mass_0"].isnull().values
             rounds = 0
-            while bad_inds.sum() > 0 and rounds < max_rounds:
-                new_pop = self._draw(int(bad_inds.sum()), rng, accurate, **kwargs)
-                population.loc[bad_inds, :] = new_pop.values
-                bad_inds = population["mass_0"].isnull()
+            while bad.any() and rounds < max_rounds:
+                new_pop = self._draw(N, rng, accurate, **kwargs)
+                good_new = new_pop["mass_0"].notnull().values
+                n_take = min(int(bad.sum()), int(good_new.sum()))
+                if n_take:
+                    bad_idx = np.where(bad)[0][:n_take]
+                    good_idx = np.where(good_new)[0][:n_take]
+                    population.iloc[bad_idx] = new_pop.iloc[good_idx].values
+                bad = population["mass_0"].isnull().values
                 rounds += 1
         else:
             population = population.dropna(subset=["mass_0"])
