@@ -164,6 +164,17 @@ def find_cells_1d(knots: jnp.ndarray, x: jnp.ndarray, axis_map=None):
 
     if axis_map is not None and n > 1:
         kind, lo0, step = axis_map
+
+        def _pin_top(cell, t):
+            # Exact top-knot queries must behave like the searchsorted path
+            # (cell = n-1, t = 0, both corners clamped onto the top row) —
+            # otherwise the weight-0 LOWER corner of the last cell can poison
+            # the lerp with 0 * NaN. Caught by tests/test_oracle_parity.py.
+            top = x == knots[-1]
+            cell = jnp.where(top, n - 1, cell)
+            t = jnp.where(top, jnp.zeros_like(t), t)
+            return cell, t
+
         if kind == "exact_affine":
             # knots are BIT-exactly lo0 + i*step (verified at build time):
             # fully gather-free. floor() may land one cell low near a knot
@@ -179,6 +190,7 @@ def find_cells_1d(knots: jnp.ndarray, x: jnp.ndarray, axis_map=None):
             cell = jnp.clip(cell + shift_up.astype(jnp.int32) - shift_dn.astype(jnp.int32), 0, n - 2)
             lo = lo0 + cell.astype(x.dtype) * step
             t = (x - lo) / step
+            cell, t = _pin_top(cell, t)
             return cell, t, oob
         if kind == "compare":
             # small irregular axis: one vectorized (B, n) broadcast compare
@@ -189,6 +201,7 @@ def find_cells_1d(knots: jnp.ndarray, x: jnp.ndarray, axis_map=None):
             hi = knots[cell + 1]
             denom = hi - lo
             t = (x - lo) / jnp.where(denom == 0, jnp.ones_like(denom), denom)
+            cell, t = _pin_top(cell, t)
             return cell, t, oob
         xs = jnp.log(jnp.maximum(x, 1e-300)) if kind == "log" else x
         raw = (xs - lo0) / step
@@ -203,8 +216,9 @@ def find_cells_1d(knots: jnp.ndarray, x: jnp.ndarray, axis_map=None):
         denom = hi - lo
         t = (x - lo) / jnp.where(denom == 0, jnp.ones_like(denom), denom)
         # exact-knot semantics of the searchsorted path: t == 0 at a match
-        # (x == lo gives t = 0 exactly); exact top knot lands in the last
-        # cell with t = 1, which produces the identical clamped value.
+        # (x == lo gives t = 0 exactly); exact top knot pinned to
+        # (n-1, t=0) so the last cell's NaN lower corner can't poison it.
+        cell, t = _pin_top(cell, t)
         return cell, t, oob
 
     i_ins = jnp.searchsorted(knots, x, side="left")

@@ -21,10 +21,13 @@ __all__ = ["find_closest_grid", "find_closest_grid_batch"]
 
 def _find_closest_fn(f, a, b, bisect_tol=0.5, newton_tol=0.01, max_iter=100, max_bisect=60):
     """Find x in [a, b] with f(x) ~= 0 via bisection + secant (interp.py:404-485)."""
-    dtype = jnp.result_type(a, b, jnp.float32)
+    ya = f(jnp.asarray(a, jnp.result_type(a, jnp.float32)))
+    # carry dtype follows the residual (grid) dtype, not the (possibly weak
+    # Python float) bracket endpoints — while_loop requires a stable carry
+    dtype = ya.dtype
     a = jnp.asarray(a, dtype)
     b = jnp.asarray(b, dtype)
-    ya = f(a)
+    ya = ya.astype(dtype)
     yb = f(b)
 
     bad = jnp.isnan(ya) | jnp.isnan(yb) | (jnp.sign(ya) == jnp.sign(yb))
