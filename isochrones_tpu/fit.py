@@ -77,12 +77,16 @@ def fit_mcmc_convergent(
     resultsdir="mcmc_results",
     prior_only=False,
     seed=None,
+    moves="mixed",
     **kwargs,
 ):
     """Run the ensemble sampler in chunks until ``targetn`` effective
     samples (reference fit_emcee3, fit.py:47-170).
 
     nburn : number of autocorrelation times to discard as burn-in.
+    moves : proposal mixture; defaults to "mixed" (stretch/DE/snooker
+        0.4/0.4/0.2) mirroring the reference harness's mixedmoves=True
+        default (fit.py:59,91-96).
     """
     import jax
     import jax.numpy as jnp
@@ -139,7 +143,7 @@ def fit_mcmc_convergent(
         if verbose:
             logger.info("Iteration %d...", iteration + 1)
         key, k_run = jax.random.split(key)
-        chunk, ln_chunk, state = run_ensemble(lnpost, coords, k_run, n_steps=iter_chunksize)
+        chunk, ln_chunk, state = run_ensemble(lnpost, coords, k_run, n_steps=iter_chunksize, moves=moves)
         coords = state.walkers
         chains.append(np.asarray(chunk))
         lns.append(np.asarray(ln_chunk))

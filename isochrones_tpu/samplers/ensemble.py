@@ -1,10 +1,18 @@
-"""On-device affine-invariant ensemble MCMC (Goodman & Weare 2010 stretch move).
+"""On-device affine-invariant ensemble MCMC.
 
 Replaces the reference's external ``emcee`` dependency
 (``isochrones/starmodel.py:886-972`` ``fit_mcmc``, ``isochrones/fit.py:9-170``
 emcee3 harness): the entire chain — proposal, accept/reject, thinned storage —
 runs inside one ``lax.scan`` on device, with the log-posterior vmapped across
 walkers. A whole fit never leaves the chip.
+
+Moves: Goodman & Weare (2010) stretch, differential evolution (ter Braak
+2006), and DE-snooker (ter Braak & Vrugt 2008). ``moves="mixed"`` uses the
+reference harness's 0.4/0.4/0.2 mixture weights (fit.py:91-96 mixes
+KDE/DE/DESnooker 0.4/0.4/0.2; the KDE slot is filled by the stretch move,
+whose complementary-ensemble geometry plays the same global-proposal role
+without the O(n²) kernel-density evaluation). Each full-ensemble update
+draws one move for both half-updates via ``lax.switch``.
 
 Multi-chip: walkers shard trivially along the batch axis (see
 ``isochrones_tpu.parallel``); the stretch move only needs the complementary
@@ -29,8 +37,40 @@ class EnsembleState(NamedTuple):
     n_accept: jnp.ndarray  # (n_walkers,) acceptance counts
 
 
+def _pick2_distinct(key, n, shape):
+    """Two distinct indices in [0, n) per element of ``shape``."""
+    k1, k2 = jax.random.split(key)
+    a = jax.random.randint(k1, shape, 0, n)
+    b = jax.random.randint(k2, shape, 0, n - 1)
+    b = b + (b >= a)
+    return a, b
+
+
+def _pick3_distinct(key, n, shape):
+    """Three distinct indices in [0, n) per element of ``shape``."""
+    k12, k3 = jax.random.split(key)
+    a, b = _pick2_distinct(k12, n, shape)
+    c = jax.random.randint(k3, shape, 0, n - 2)
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    c = c + (c >= lo)
+    c = c + (c >= hi)
+    return a, b, c
+
+
+def _mh_accept(key, active, lnp_active, proposal, lnp_prop, ln_factor):
+    """Metropolis-Hastings accept/reject with an extra ln proposal factor."""
+    lnp_prop = jnp.where(jnp.isnan(lnp_prop), -jnp.inf, lnp_prop)
+    ln_ratio = ln_factor + lnp_prop - lnp_active
+    accept = jnp.log(jax.random.uniform(key, lnp_active.shape, dtype=active.dtype)) < ln_ratio
+    new_active = jnp.where(accept[:, None], proposal, active)
+    new_lnp = jnp.where(accept, lnp_prop, lnp_active)
+    return new_active, new_lnp, accept
+
+
 def _stretch_half(lnpost_v, active, passive, lnp_active, key, a=2.0):
-    """One stretch-move update of the active half against the passive half."""
+    """One stretch-move update of the active half against the passive half
+    (Goodman & Weare 2010; emcee's default)."""
     n_act, n_dim = active.shape
     k_z, k_pick, k_acc = jax.random.split(key, 3)
     u = jax.random.uniform(k_z, (n_act,), dtype=active.dtype)
@@ -39,15 +79,58 @@ def _stretch_half(lnpost_v, active, passive, lnp_active, key, a=2.0):
     partners = passive[picks]
     proposal = partners + z[:, None] * (active - partners)
     lnp_prop = lnpost_v(proposal)
-    lnp_prop = jnp.where(jnp.isnan(lnp_prop), -jnp.inf, lnp_prop)
-    ln_ratio = (n_dim - 1.0) * jnp.log(z) + lnp_prop - lnp_active
-    accept = jnp.log(jax.random.uniform(k_acc, (n_act,), dtype=active.dtype)) < ln_ratio
-    new_active = jnp.where(accept[:, None], proposal, active)
-    new_lnp = jnp.where(accept, lnp_prop, lnp_active)
-    return new_active, new_lnp, accept
+    return _mh_accept(k_acc, active, lnp_active, proposal, lnp_prop, (n_dim - 1.0) * jnp.log(z))
 
 
-@partial(jax.jit, static_argnames=("lnpost_v", "n_steps", "thin", "a"))
+def _de_half(lnpost_v, active, passive, lnp_active, key, sigma=1e-5):
+    """Differential-evolution move (ter Braak 2006; the reference harness's
+    ``DEMove`` slot, fit.py:94): jump along the difference of two distinct
+    complementary walkers, gamma = 2.38/sqrt(2 d) with 10% 'big jump'
+    (gamma=1) steps for mode hopping."""
+    n_act, n_dim = active.shape
+    k_pick, k_g, k_eps, k_acc = jax.random.split(key, 4)
+    i, j = _pick2_distinct(k_pick, passive.shape[0], (n_act,))
+    diff = passive[i] - passive[j]
+    g0 = 2.38 / jnp.sqrt(2.0 * n_dim)
+    big = jax.random.uniform(k_g, (n_act,), dtype=active.dtype) < 0.1
+    gamma = jnp.where(big, 1.0, g0).astype(active.dtype)
+    eps = jax.random.normal(k_eps, active.shape, dtype=active.dtype) * sigma
+    proposal = active + gamma[:, None] * diff + eps
+    lnp_prop = lnpost_v(proposal)
+    return _mh_accept(k_acc, active, lnp_active, proposal, lnp_prop, 0.0)
+
+
+def _snooker_half(lnpost_v, active, passive, lnp_active, key, gammas=1.7):
+    """DE-snooker move (ter Braak & Vrugt 2008; the reference harness's
+    ``DESnookerMove`` slot, fit.py:95): jump along the line through a third
+    walker, with the |q-z|/|s-z|^(d-1) Jacobian factor."""
+    n_act, n_dim = active.shape
+    k_pick, k_acc = jax.random.split(key)
+    iz, i1, i2 = _pick3_distinct(k_pick, passive.shape[0], (n_act,))
+    z = passive[iz]
+    delta = active - z
+    norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+    u = delta / jnp.where(norm == 0, jnp.ones_like(norm), norm)[:, None]
+    proj = jnp.sum((passive[i1] - passive[i2]) * u, axis=-1)
+    proposal = active + gammas * proj[:, None] * u
+    norm_q = jnp.sqrt(jnp.sum((proposal - z) ** 2, axis=-1))
+    ln_factor = (n_dim - 1.0) * (
+        jnp.log(jnp.maximum(norm_q, 1e-300)) - jnp.log(jnp.maximum(norm, 1e-300))
+    )
+    lnp_prop = lnpost_v(proposal)
+    return _mh_accept(k_acc, active, lnp_active, proposal, lnp_prop, ln_factor)
+
+
+# mixture weights per `moves` mode: (stretch, de, snooker)
+_MOVE_WEIGHTS = {
+    "stretch": (1.0, 0.0, 0.0),
+    "de": (0.0, 1.0, 0.0),
+    "snooker": (0.0, 0.0, 1.0),
+    "mixed": (0.4, 0.4, 0.2),  # reference fit.py:91-96 mixture weights
+}
+
+
+@partial(jax.jit, static_argnames=("lnpost_v", "n_steps", "thin", "a", "moves"))
 def run_ensemble(
     lnpost_v: Callable,
     walkers0: jnp.ndarray,
@@ -55,11 +138,15 @@ def run_ensemble(
     n_steps: int,
     thin: int = 1,
     a: float = 2.0,
+    moves: str = "stretch",
 ):
     """Run the ensemble sampler for ``n_steps`` full-ensemble updates.
 
     lnpost_v : vmapped log-posterior, (n, n_params) -> (n,)
     walkers0 : (n_walkers, n_params) initial positions (n_walkers even)
+    moves : "stretch" | "de" | "snooker" | "mixed" (the reference emcee3
+        harness mixture, fit.py:91-96 — better mixing on correlated
+        posteriors than stretch-only)
     Returns (chain (n_steps//thin, n_walkers, n_params),
              ln_chain (n_steps//thin, n_walkers),
              final EnsembleState).
@@ -72,15 +159,29 @@ def run_ensemble(
         walkers=walkers0, ln_prob=lnp0, key=key, n_accept=jnp.zeros(n_walkers, dtype=jnp.int32)
     )
 
+    weights = jnp.asarray(_MOVE_WEIGHTS[moves])
+    branches = [
+        lambda act, pas, lnp, k: _stretch_half(lnpost_v, act, pas, lnp, k, a=a),
+        lambda act, pas, lnp, k: _de_half(lnpost_v, act, pas, lnp, k),
+        lambda act, pas, lnp, k: _snooker_half(lnpost_v, act, pas, lnp, k),
+    ]
+
+    def update_half(move_idx, active, passive, lnp_active, k):
+        if moves in ("stretch", "de", "snooker"):  # static: no switch needed
+            idx = {"stretch": 0, "de": 1, "snooker": 2}[moves]
+            return branches[idx](active, passive, lnp_active, k)
+        return jax.lax.switch(move_idx, branches, active, passive, lnp_active, k)
+
     def one_step(state: EnsembleState, _):
-        key, k1, k2 = jax.random.split(state.key, 3)
+        key, k_move, k1, k2 = jax.random.split(state.key, 4)
+        move_idx = jax.random.choice(k_move, 3, p=weights)
         w = state.walkers
         lnp = state.ln_prob
         first, second = w[:half], w[half:]
         lnp1, lnp2 = lnp[:half], lnp[half:]
 
-        new_first, new_lnp1, acc1 = _stretch_half(lnpost_v, first, second, lnp1, k1, a=a)
-        new_second, new_lnp2, acc2 = _stretch_half(lnpost_v, second, new_first, lnp2, k2, a=a)
+        new_first, new_lnp1, acc1 = update_half(move_idx, first, second, lnp1, k1)
+        new_second, new_lnp2, acc2 = update_half(move_idx, second, new_first, lnp2, k2)
 
         walkers = jnp.concatenate([new_first, new_second], axis=0)
         ln_prob = jnp.concatenate([new_lnp1, new_lnp2], axis=0)

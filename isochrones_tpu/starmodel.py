@@ -637,6 +637,14 @@ class BasicStarModel:
         )
         self._nested_result = result
         self._evidence = (result.logz, result.logzerr)
+        if getattr(result, "truncated", False):
+            from .logger import getLogger
+
+            getLogger().warning(
+                "fit_multinest: run was ESS-truncated (ess=%.0f) — posterior "
+                "quantiles in .samples are unreliable; refit with a larger "
+                "max_iter or n_live_points.", result.ess,
+            )
 
         import pandas as pd
 
@@ -695,6 +703,7 @@ class BasicStarModel:
         p0=None,
         seed=None,
         mesh=None,
+        moves="stretch",
         **kwargs,
     ):
         """On-device affine-invariant ensemble MCMC (replaces emcee,
@@ -703,6 +712,8 @@ class BasicStarModel:
         mesh : optional ``jax.sharding.Mesh`` with a ``walkers`` axis — the
         walker batch shards across devices (data-parallel lnpost; the
         stretch move's complementary-half access becomes an ICI all-gather).
+        moves : "stretch" (emcee default) or "mixed" (stretch/DE/snooker,
+        the emcee3 harness mixture — better on correlated posteriors).
         """
         from .samplers.ensemble import run_ensemble
 
@@ -716,9 +727,9 @@ class BasicStarModel:
         key = jax.random.PRNGKey(seed if seed is not None else 0)
 
         key, k_burn = jax.random.split(key)
-        _, _, state = run_ensemble(self.lnpost_batch, p0, k_burn, n_steps=nburn)
+        _, _, state = run_ensemble(self.lnpost_batch, p0, k_burn, n_steps=nburn, moves=moves)
         chain, ln_chain, state = run_ensemble(
-            self.lnpost_batch, state.walkers, state.key, n_steps=niter, thin=thin
+            self.lnpost_batch, state.walkers, state.key, n_steps=niter, thin=thin, moves=moves
         )
 
         import pandas as pd
