@@ -1,90 +1,414 @@
-"""Headline benchmark: batched fused lnpost evals/sec/chip.
+"""Benchmark suite: one TPU counterpart for every BASELINE.md row.
 
-Reference baseline (BASELINE.md): BasicStarModel binary-star ``lnpost`` takes
-719 us/eval single-core (docs/multiple.ipynb cell 9) ~= 1391 evals/s. The
-north star is >=1e6 evals/sec/chip. This benchmark times the same computation
-— the fused binary-star posterior (two chained grid interpolations per
-component, BC composition, flux-sum, Gaussian lnlike over spectroscopy +
-photometry + parallax, full prior stack incl. the EEP change-of-variables
-prior) — vmapped over a large walker batch on MIST-scale grids
-(15 feh x 196 mass x 1710 eep model grid; 53x15x11x13 BC grid).
+Reference baselines are the `%timeit` outputs embedded in the reference's docs
+notebooks (single CPU core, numba warm — see BASELINE.md). Each benchmark here
+times the equivalent computation batched on one chip and reports throughput
+plus `vs_baseline` (ours / reference).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "evals/s/chip", "vs_baseline": N}
+Prints ONE JSON line. Top-level fields are the headline metric (batched fused
+binary-star lnpost evals/s/chip vs the reference's 719 us/eval,
+docs/multiple.ipynb cell 9); the full per-row suite is under "suite".
 """
 
 import json
-import sys
 import time
+import traceback
 
 import numpy as np
 
-BASELINE_EVALS_PER_SEC = 1.0 / 719e-6  # reference binary lnpost, 1 CPU core
+# ---------------------------------------------------------------- baselines
+# BASELINE.md rows, converted to throughput (per-second) figures.
+BASE_BINARY_LNPOST = 1.0 / 719e-6      # binary lnpost evals/s       (multiple.ipynb c9)
+BASE_INTERP_3D = 1.0 / 12.5e-6         # 3-d interp pts/s, 1 col     (modelgrids.ipynb c13)
+BASE_INTERP_2D_BATCH = 1e4 / 15.1e-3   # batched 2-d interp pts/s    (interpolate.ipynb c9)
+BASE_TREE_LNPOST = 1.0 / 1.23e-3       # tree resolved-binary lnpost (multiple.ipynb c23)
+BASE_GET_EEP_FAST = 1.0 / 4.26e-6      # fast EEP inversions/s       (grid_interpolator.ipynb c24)
+BASE_GET_EEP_ACC = 1.0 / 4.56e-3       # accurate EEP inversions/s   (grid_interpolator.ipynb c24)
+BASE_GENERATE = 1e4 / 112e-3           # generate stars/s            (grid_interpolator.ipynb c20)
+BASE_POPULATION = 1e3 / 1.24           # StarPopulation stars/s      (populations.ipynb c6)
+BASE_FIT_SECONDS = 14 * 60.0           # binary nested fit seconds   (multiple.ipynb c11)
+
+
+def _time_loop(fn, n_rep):
+    """Median-free simple timing: warmup (compile) + n_rep timed calls."""
+    out = fn()
+    _block(out)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = fn()
+    _block(out)
+    return (time.perf_counter() - t0) / n_rep
+
+
+def _block(out):
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+
+
+def _true_star(iso, pars, bands):
+    Teff, logg, _, mags = iso.interp_mag(list(pars), list(bands))
+    return Teff, logg, np.asarray(mags)
+
+
+class Bench:
+    def __init__(self):
+        import jax
+
+        self.platform = jax.default_backend()
+        self.on_tpu = self.platform == "tpu"
+        # f32 grids on TPU (f64 is emulated/slow there); f64 elsewhere.
+        self.dtype = np.float32 if self.on_tpu else np.float64
+
+        from isochrones_tpu import get_ichrone
+
+        # MIST-scale grids (SURVEY §6: 15 feh x ~196 mass x 1710 eep)
+        self.iso = get_ichrone(
+            "synthetic", n_feh=15, n_mass=196, n_eep=1710, n_age=107, dtype=self.dtype
+        )
+        self.track = self.iso.track
+        self.rng = np.random.default_rng(0)
+        self.results = []
+
+    def run(self, name, fn):
+        try:
+            self.results.append(fn())
+        except Exception:
+            self.results.append({"metric": name, "error": traceback.format_exc(limit=3)})
+
+    # ------------------------------------------------- 1. headline: binary lnpost
+    def bench_binary_lnpost(self):
+        import jax.numpy as jnp
+
+        from isochrones_tpu.starmodel import BinaryStarModel
+
+        iso = self.iso
+        pars = [350.0, 9.0, 0.0, 200.0, 0.1]
+        bands = ["J", "H", "K", "G"]
+        Teff, logg, mags = _true_star(iso, pars, bands)
+        model = BinaryStarModel(
+            iso,
+            Teff=(Teff, 100.0),
+            logg=(logg, 0.1),
+            J=(float(mags[0]), 0.02),
+            H=(float(mags[1]), 0.02),
+            K=(float(mags[2]), 0.02),
+            G=(float(mags[3]), 0.01),
+            parallax=(5.0, 0.05),
+        )
+        batch = 1 << 17 if self.on_tpu else 1 << 14
+        p = np.stack(
+            [
+                self.rng.uniform(200, 450, batch),
+                self.rng.uniform(200, 450, batch),
+                self.rng.uniform(8.5, 9.5, batch),
+                self.rng.uniform(-0.5, 0.3, batch),
+                self.rng.uniform(100, 300, batch),
+                self.rng.uniform(0.0, 0.5, batch),
+            ],
+            axis=-1,
+        ).astype(self.dtype)
+        p = jnp.asarray(p)
+        fn = model.lnpost_batch
+        dt = _time_loop(lambda: fn(p), 20 if self.on_tpu else 3)
+        rate = batch / dt
+        return {
+            "metric": "binary-star fused lnpost throughput",
+            "value": round(rate, 1),
+            "unit": "evals/s/chip",
+            "baseline": round(BASE_BINARY_LNPOST, 1),
+            "vs_baseline": round(rate / BASE_BINARY_LNPOST, 1),
+        }
+
+    # ------------------------------------------- 2. raw 3-d interp (track grid)
+    def bench_interp_3d(self):
+        import jax
+        import jax.numpy as jnp
+
+        from isochrones_tpu.ops.interp import interp_nd
+
+        g = self.track.model  # (feh, mass, eep) MIST-scale track grid
+        icol = (g.column_index["logg"],)
+        batch = 1 << 20 if self.on_tpu else 1 << 16
+        knots = [np.asarray(k) for k in g.knots]
+        pts = np.stack(
+            [self.rng.uniform(k[0], k[-1], batch) for k in knots], axis=-1
+        ).astype(self.dtype)
+        pts = jnp.asarray(pts)
+
+        fn = jax.jit(
+            lambda grid, p: interp_nd(grid.values, grid.knots, p, icols=icol, axis_maps=grid.axis_maps)
+        )
+        dt = _time_loop(lambda: fn(g, pts), 20 if self.on_tpu else 5)
+        rate = batch / dt
+        return {
+            "metric": "3-d grid interpolation (1 column, MIST-scale track grid)",
+            "value": round(rate, 1),
+            "unit": "pts/s/chip",
+            "baseline": round(BASE_INTERP_3D, 1),
+            "vs_baseline": round(rate / BASE_INTERP_3D, 1),
+        }
+
+    # ---------------------------------------------------- 3. batched 2-d interp
+    def bench_interp_2d(self):
+        import jax
+        import jax.numpy as jnp
+
+        from isochrones_tpu.ops.interp import GridData, compute_axis_maps, interp_nd
+
+        n0, n1 = 100, 150
+        k0 = np.linspace(0.0, 1.0, n0)
+        k1 = np.linspace(-1.0, 1.0, n1)
+        vals = np.random.default_rng(1).normal(size=(n0, n1, 1))
+        g = GridData(
+            values=jnp.asarray(vals.astype(self.dtype)),
+            knots=(jnp.asarray(k0.astype(self.dtype)), jnp.asarray(k1.astype(self.dtype))),
+            columns=("v",),
+            axis_maps=compute_axis_maps([k0, k1]),
+        )
+        batch = 1 << 20 if self.on_tpu else 1 << 16
+        pts = np.stack(
+            [self.rng.uniform(0, 1, batch), self.rng.uniform(-1, 1, batch)], axis=-1
+        ).astype(self.dtype)
+        pts = jnp.asarray(pts)
+        fn = jax.jit(
+            lambda grid, p: interp_nd(grid.values, grid.knots, p, icols=(0,), axis_maps=grid.axis_maps)
+        )
+        dt = _time_loop(lambda: fn(g, pts), 20 if self.on_tpu else 5)
+        rate = batch / dt
+        return {
+            "metric": "batched 2-d grid interpolation",
+            "value": round(rate, 1),
+            "unit": "pts/s/chip",
+            "baseline": round(BASE_INTERP_2D_BATCH, 1),
+            "vs_baseline": round(rate / BASE_INTERP_2D_BATCH, 1),
+        }
+
+    # ------------------------------------------- 4. tree resolved-binary lnpost
+    def bench_tree_lnpost(self):
+        import jax.numpy as jnp
+
+        from isochrones_tpu.observation import Observation, ObservationTree, Source
+        from isochrones_tpu.treemodel import StarModel
+        from isochrones_tpu.utils import addmags
+
+        iso = self.iso
+        parsA = [350.0, 9.0, 0.0, 200.0, 0.1]
+        parsB = [300.0, 9.0, 0.0, 200.0, 0.1]
+        TeffA, _, magsA = _true_star(iso, parsA, ["J", "H", "K"])
+        _, _, magsB = _true_star(iso, parsB, ["J", "H", "K"])
+
+        # blended wide-field photometry + resolved AO observation
+        # (the docs/multiple.ipynb resolved-binary configuration)
+        t = ObservationTree(name="bench-resolved")
+        for i, band in enumerate(["J", "H"]):
+            o = Observation("2MASS", band, 4.0)
+            o.add_source(Source(addmags(magsA[i], magsB[i]), 0.02))
+            t.add_observation(o)
+        o = Observation("NIRC2", "K", 0.1)
+        o.add_source(Source(float(magsA[2]), 0.02, separation=0.0, pa=0.0))
+        o.add_source(Source(float(magsB[2]), 0.02, separation=0.5, pa=100.0))
+        t.add_observation(o)
+        model = StarModel(iso, obs=t, N=1, index=[0, 0], parallax=(5.0, 0.05))
+
+        n_par = len(model.param_names)
+        base = np.asarray([350.0, 300.0, 9.0, 0.0, 200.0, 0.1])[:n_par]
+        batch = 1 << 15 if self.on_tpu else 1 << 12
+        p = base[None, :] + self.rng.normal(
+            0, [5.0, 5.0, 0.02, 0.02, 2.0, 0.01][:n_par], size=(batch, n_par)
+        )
+        p = jnp.asarray(p.astype(self.dtype))
+        fn = model.lnpost_batch
+        dt = _time_loop(lambda: fn(p), 10 if self.on_tpu else 3)
+        rate = batch / dt
+        return {
+            "metric": "tree StarModel resolved-binary lnpost throughput",
+            "value": round(rate, 1),
+            "unit": "evals/s/chip",
+            "baseline": round(BASE_TREE_LNPOST, 1),
+            "vs_baseline": round(rate / BASE_TREE_LNPOST, 1),
+        }
+
+    # --------------------------------------------------------- 5. EEP inversion
+    def bench_get_eep(self, accurate):
+        import jax.numpy as jnp
+
+        track = self.track
+        batch = (1 << 18 if self.on_tpu else 1 << 14) if not accurate else (
+            1 << 14 if self.on_tpu else 1 << 10
+        )
+        mass = jnp.asarray(self.rng.uniform(0.5, 2.0, batch).astype(self.dtype))
+        age = jnp.asarray(self.rng.uniform(8.5, 9.8, batch).astype(self.dtype))
+        feh = jnp.asarray(self.rng.uniform(-0.4, 0.3, batch).astype(self.dtype))
+        # NOTE: no outer jit here — get_eep_batch dispatches to pre-jitted
+        # kernels that take the grids as ARGUMENTS; an outer jit would embed
+        # the full grid as a compile-time constant (remote-compile 413).
+        fn = lambda m, a, f: track.get_eep_batch(m, a, f, accurate=accurate)
+        dt = _time_loop(lambda: fn(mass, age, feh), 10 if self.on_tpu else 3)
+        rate = batch / dt
+        base = BASE_GET_EEP_ACC if accurate else BASE_GET_EEP_FAST
+        label = "accurate (Newton)" if accurate else "fast (grid)"
+        return {
+            "metric": f"get_eep {label} inversion throughput",
+            "value": round(rate, 1),
+            "unit": "evals/s/chip",
+            "baseline": round(base, 1),
+            "vs_baseline": round(rate / base, 1),
+        }
+
+    # -------------------------------------------------------- 6. generate 10^4
+    def bench_generate(self):
+        track = self.track
+        N = 10_000
+        mass = self.rng.uniform(0.5, 2.0, N)
+        age = self.rng.uniform(8.5, 9.8, N)
+        feh = self.rng.uniform(-0.4, 0.3, N)
+        track.generate(mass, age, feh)  # warmup (compile)
+        n_rep = 5
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            df = track.generate(mass, age, feh)
+        dt = (time.perf_counter() - t0) / n_rep
+        assert len(df) == N
+        rate = N / dt
+        return {
+            "metric": "generate 10^4 stars (props + mags, host round-trip)",
+            "value": round(rate, 1),
+            "unit": "stars/s",
+            "baseline": round(BASE_GENERATE, 1),
+            "vs_baseline": round(rate / BASE_GENERATE, 1),
+        }
+
+    # ------------------------------------------- 7. StarPopulation.generate(1000)
+    def bench_population(self):
+        from isochrones_tpu.populations import StarPopulation
+        from isochrones_tpu.priors import (
+            AVPrior,
+            DistancePrior,
+            GaussianPrior,
+            SalpeterPrior,
+        )
+
+        pop = StarPopulation(
+            self.track,
+            imf=SalpeterPrior(bounds=(0.4, 2.5)),
+            fB=0.4,
+            gamma=0.3,
+            feh=GaussianPrior(-0.1, 0.15),
+            distance=DistancePrior(max_distance=3000),
+            AV=AVPrior(bounds=[0, 1]),
+        )
+        N = 1000
+        pop.generate(N, rng=1)  # warmup
+        n_rep = 3
+        t0 = time.perf_counter()
+        for i in range(n_rep):
+            df = pop.generate(N, rng=2 + i, exact_N=True)
+        dt = (time.perf_counter() - t0) / n_rep
+        assert len(df) == N
+        rate = N / dt
+        return {
+            "metric": "StarPopulation.generate(1000) exact_N",
+            "value": round(rate, 1),
+            "unit": "stars/s",
+            "baseline": round(BASE_POPULATION, 1),
+            "vs_baseline": round(rate / BASE_POPULATION, 1),
+        }
+
+    # --------------------------------------------------------- 8. cluster lnlike
+    def bench_cluster(self):
+        import jax.numpy as jnp
+
+        from isochrones_tpu.cluster import SimulatedCluster, StarClusterModel
+
+        iso = self.iso
+        sim = SimulatedCluster(
+            50, age=9.0, feh=0.0, distance=300.0, AV=0.05, alpha=-2.0,
+            gamma=0.3, fB=0.3, bands=("J", "H", "K"), mass_range=(0.6, 2.0),
+            ic=iso, rng=0, phot_unc=0.02,
+        )
+        model = StarClusterModel(
+            iso, sim, eep_bounds=(1, 800), max_distance=3000, minq=0.2
+        )
+        batch = 16 if self.on_tpu else 2
+        base = np.asarray([9.0, 0.0, 300.0, 0.05, -2.0, 0.3, 0.3])
+        p = base[None, :] + self.rng.normal(
+            0, [0.02, 0.02, 2.0, 0.01, 0.05, 0.02, 0.02], size=(batch, 7)
+        )
+        p = jnp.asarray(p.astype(self.dtype))
+        fn = model.lnpost_batch
+        dt = _time_loop(lambda: fn(p), 5 if self.on_tpu else 2)
+        rate = batch / dt
+        return {
+            "metric": "hierarchical cluster lnpost (50 stars, 800-EEP grid)",
+            "value": round(rate, 2),
+            "unit": "evals/s/chip",
+            "baseline": None,  # no reference %timeit exists for cluster lnlike
+            "vs_baseline": None,
+        }
+
+    # --------------------------------------- 9. end-to-end binary nested fit
+    def bench_nested_fit(self):
+        from isochrones_tpu.starmodel import BinaryStarModel
+
+        iso = self.iso
+        pars = [350.0, 9.0, 0.0, 200.0, 0.1]
+        bands = ["J", "H", "K", "G"]
+        Teff, logg, mags1 = _true_star(iso, pars, bands)
+        _, _, mags2 = _true_star(iso, [300.0] + pars[1:], bands)
+        tot = -2.5 * np.log10(10 ** (-0.4 * mags1) + 10 ** (-0.4 * mags2))
+        model = BinaryStarModel(
+            iso,
+            Teff=(Teff, 100.0),
+            logg=(logg, 0.1),
+            J=(float(tot[0]), 0.02),
+            H=(float(tot[1]), 0.02),
+            K=(float(tot[2]), 0.02),
+            G=(float(tot[3]), 0.01),
+            parallax=(5.0, 0.05),
+        )
+        n_live = 2000 if self.on_tpu else 200
+        t0 = time.perf_counter()
+        res = model.fit_multinest(n_live_points=n_live, n_batch=16, seed=0)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(res.logz)
+        return {
+            "metric": f"end-to-end binary-star nested fit (n_live={n_live})",
+            "value": round(dt, 2),
+            "unit": "seconds (lower is better)",
+            "baseline": BASE_FIT_SECONDS,
+            "vs_baseline": round(BASE_FIT_SECONDS / dt, 1),  # speedup factor
+            "logz": round(float(res.logz), 2),
+            "ess": round(float(res.ess), 1),
+        }
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    b = Bench()
+    b.run("binary-star fused lnpost throughput", b.bench_binary_lnpost)
+    b.run("3-d grid interpolation", b.bench_interp_3d)
+    b.run("batched 2-d grid interpolation", b.bench_interp_2d)
+    b.run("tree StarModel resolved-binary lnpost", b.bench_tree_lnpost)
+    b.run("get_eep fast", lambda: b.bench_get_eep(accurate=False))
+    b.run("get_eep accurate", lambda: b.bench_get_eep(accurate=True))
+    b.run("generate 10^4 stars", b.bench_generate)
+    b.run("StarPopulation.generate(1000)", b.bench_population)
+    b.run("cluster lnpost", b.bench_cluster)
+    b.run("end-to-end nested fit", b.bench_nested_fit)
 
-    platform = jax.default_backend()
-    # f32 grids on TPU (f64 is emulated/slow there); f64 elsewhere for parity.
-    dtype = np.float32 if platform == "tpu" else np.float64
-
-    from isochrones_tpu import get_ichrone
-    from isochrones_tpu.starmodel import BinaryStarModel
-
-    # MIST-scale grids (SURVEY §6: 15 feh x ~196 mass x 1710 eep)
-    iso = get_ichrone(
-        "synthetic", n_feh=15, n_mass=196, n_eep=1710, n_age=107, dtype=dtype
-    )
-
-    eep, age, feh, distance, AV = 350.0, 9.0, 0.0, 200.0, 0.1
-    Teff, logg, _, mags = iso.interp_mag([eep, age, feh, distance, AV], ["J", "H", "K", "G"])
-    model = BinaryStarModel(
-        iso,
-        Teff=(Teff, 100.0),
-        logg=(logg, 0.1),
-        J=(float(mags[0]), 0.02),
-        H=(float(mags[1]), 0.02),
-        K=(float(mags[2]), 0.02),
-        G=(float(mags[3]), 0.01),
-        parallax=(5.0, 0.05),
-    )
-
-    batch = 1 << 17 if platform == "tpu" else 1 << 14
-    rng = np.random.default_rng(0)
-    pars = np.stack(
-        [
-            rng.uniform(200, 450, batch),
-            rng.uniform(200, 450, batch),
-            rng.uniform(8.5, 9.5, batch),
-            rng.uniform(-0.5, 0.3, batch),
-            rng.uniform(100, 300, batch),
-            rng.uniform(0.0, 0.5, batch),
-        ],
-        axis=-1,
-    ).astype(dtype)
-    pars = jnp.asarray(pars)
-
-    fn = model.lnpost_batch
-    # warmup / compile
-    fn(pars).block_until_ready()
-
-    n_rep = 20 if platform == "tpu" else 3
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = fn(pars)
-    out.block_until_ready()
-    t1 = time.perf_counter()
-
-    evals_per_sec = batch * n_rep / (t1 - t0)
-    result = {
-        "metric": f"binary-star fused lnpost throughput ({platform}, batch {batch}, MIST-scale grids)",
-        "value": round(evals_per_sec, 1),
+    headline = b.results[0]
+    out = dict(headline) if "error" not in headline else {
+        "metric": "binary-star fused lnpost throughput",
+        "value": 0.0,
         "unit": "evals/s/chip",
-        "vs_baseline": round(evals_per_sec / BASELINE_EVALS_PER_SEC, 1),
+        "vs_baseline": 0.0,
+        "error": headline.get("error"),
     }
-    print(json.dumps(result))
+    out["metric"] = f"{out['metric']} ({b.platform}, MIST-scale grids)"
+    out["suite"] = b.results
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -27,6 +27,14 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--bands", nargs="*", default=None, help="Additional band(s) to include in samples.")
     parser.add_argument("--tree", action="store_true", help="use the tree-based StarModel (resolved systems)")
+    # multi-host (DCN) fleet sharding: each process fits its shard of folders
+    # (the reference scripts/batch_starfit SLURM-array role, SURVEY §2.8c)
+    parser.add_argument("--multihost", action="store_true",
+                        help="shard the folder list across jax.distributed processes")
+    parser.add_argument("--coordinator", default=None,
+                        help="jax.distributed coordinator address host:port (multihost)")
+    parser.add_argument("--num-processes", type=int, default=None, dest="num_processes")
+    parser.add_argument("--process-id", type=int, default=None, dest="process_id")
     return parser
 
 
@@ -38,6 +46,18 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     from ..starfit import starfit
+
+    folders = list(args.folders)
+    if args.multihost or args.coordinator is not None:
+        from ..parallel.multihost import initialize_distributed, process_shard
+
+        pid, nproc = initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        folders = process_shard(folders, pid, nproc)
+        print(f"[multihost] process {pid}/{nproc}: {len(folders)} folder(s)")
 
     if args.all:
         multiplicities = ["single", "binary", "triple"]
@@ -59,8 +79,8 @@ def main(argv=None):
     if args.max_iter is not None:
         fit_kwargs["max_iter"] = args.max_iter
 
-    for i, folder in enumerate(args.folders):
-        print(f"{i + 1} of {len(args.folders)}: {folder}")
+    for i, folder in enumerate(folders):
+        print(f"{i + 1} of {len(folders)}: {folder}")
         mod, logger = starfit(
             folder,
             multiplicities=multiplicities,

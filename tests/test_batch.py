@@ -72,6 +72,7 @@ def test_batch_lnpost_matches_single(setup):
         assert np.isclose(batch_lnp[i], single, atol=1e-6), (i, batch_lnp[i], single)
 
 
+@pytest.mark.slow
 def test_batch_fit_recovers_truths(setup):
     iso, cat, truths = setup
     fitter, summary = fit_catalog(iso, cat, nwalkers=64, nburn=500, niter=100, seed=1)

@@ -18,6 +18,7 @@ def star_folder(tmp_path):
     return str(folder)
 
 
+@pytest.mark.slow
 def test_starfit_cli(star_folder):
     from isochrones_tpu.cli.starfit import main
 
@@ -63,6 +64,7 @@ def test_select_and_summarize_cli(star_folder, tmp_path, capsys):
     assert np.isfinite(df["eep_50"]).all()
 
 
+@pytest.mark.slow
 def test_generate_cmd_and_fit_catalog_cli(tmp_path):
     from isochrones_tpu.cli.fit_catalog import main as fit_main
     from isochrones_tpu.cli.generate_cmd import main as gen_main

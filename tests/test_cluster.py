@@ -140,6 +140,7 @@ def test_cluster_batch_eval(sim):
         assert np.isclose(lnp[i], model.lnpost(batch[i]), rtol=1e-8, equal_nan=True)
 
 
+@pytest.mark.slow
 def test_cluster_fit_smoke(sim):
     model = StarClusterModel(
         sim.ic, sim, eep_bounds=(1, 95), max_distance=2000, minq=0.2, max_AV=0.2,
@@ -189,6 +190,7 @@ def test_simulated_cluster_no_dead_stars():
     assert np.isfinite(ll)
 
 
+@pytest.mark.slow
 def test_cluster_star_sharding(sim):
     """Star-sharded cluster lnlike over an 8-device mesh == unsharded
     (30 stars -> 2 ghost-star pads)."""

@@ -21,6 +21,7 @@ def model():
     )
 
 
+@pytest.mark.slow
 def test_convergent_fit_and_resume(tmp_path, model):
     sample_dir = str(tmp_path / "chains")
     results_dir = str(tmp_path / "results")

@@ -12,6 +12,7 @@ from isochrones_tpu.samplers.nuts import run_nuts
 from isochrones_tpu.starmodel import SingleStarModel
 
 
+@pytest.mark.slow
 def test_gaussian_target():
     dim = 4
     rng = np.random.default_rng(0)
@@ -59,6 +60,7 @@ def test_mass_matrix_adaptation():
     assert im[2] / im[0] > 1e3
 
 
+@pytest.mark.slow
 def test_star_model_nuts():
     iso = get_ichrone("synthetic", n_feh=7, n_mass=30, n_eep=100, n_age=30)
     Teff, logg, _, mags = iso.interp_mag([60.0, 9.0, 0.0, 200.0, 0.1], ["J", "H", "K"])
@@ -67,7 +69,7 @@ def test_star_model_nuts():
         J=(float(mags[0]), 0.02), H=(float(mags[1]), 0.02), K=(float(mags[2]), 0.02),
         parallax=(5.0, 0.05),
     )
-    df = m.fit_nuts(n_chains=4, n_warmup=300, n_samples=300, seed=0)
+    df = m.fit_nuts(n_chains=6, n_warmup=500, n_samples=400, seed=0)
     assert np.isfinite(df["lnprob"]).all()
     assert abs(df["age"].median() - 9.0) < 0.1
     assert abs(df["distance"].median() - 200.0) < 10.0

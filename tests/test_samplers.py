@@ -142,6 +142,7 @@ def test_mixed_moves_autocorr_benchmark():
     assert taus["mixed"] < 2.0 * taus["stretch"]
 
 
+@pytest.mark.slow
 def test_nested_ess_auto_extend_and_truncation():
     """min_ess termination (VERDICT r1 weak #4): truncated runs are flagged
     loudly (or raise), and a dlogz-converged run keeps extending until the

@@ -168,6 +168,7 @@ def test_sample_from_prior(star1_model):
     assert np.isfinite(lnp).all()
 
 
+@pytest.mark.slow
 def test_mcmc_smoke(star1_model):
     m, t = star1_model
     df = m.fit_mcmc(nwalkers=64, nburn=500, niter=100, seed=1)
@@ -180,6 +181,7 @@ def test_mcmc_smoke(star1_model):
     assert abs(df["distance"].median() - t["pars"][3]) < 10.0
 
 
+@pytest.mark.slow
 def test_nested_smoke(iso):
     t = _true_star(iso)
     m = SingleStarModel(
@@ -199,7 +201,9 @@ def test_nested_smoke(iso):
 def test_derived_samples(star1_model):
     m, _ = star1_model
     if m._samples is None:
-        m.fit_mcmc(nwalkers=32, nburn=20, niter=10, seed=3)
+        # enough burn-in to land near the mode: the module-scoped model's
+        # samples are reused by test_posterior_predictive (chi^2/N check)
+        m.fit_mcmc(nwalkers=32, nburn=200, niter=20, seed=3)
     ds = m.derived_samples
     for col in ("mass", "radius", "Teff", "logg", "parallax", "J_mag"):
         assert col in ds.columns, col
@@ -233,7 +237,8 @@ def test_isotrack_model(iso, track):
 def test_posterior_predictive(star1_model):
     m, _ = star1_model
     if m._samples is None:
-        m.fit_mcmc(nwalkers=32, nburn=20, niter=10, seed=5)
+        # enough burn-in to land near the mode — pp is chi^2/N of the samples
+        m.fit_mcmc(nwalkers=32, nburn=200, niter=20, seed=5)
     pp = m.posterior_predictive
     assert np.isfinite(pp)
     assert pp < 10.0
