@@ -371,7 +371,7 @@ class Bench:
         )
         n_live = 2000 if self.on_tpu else 200
         t0 = time.perf_counter()
-        res = model.fit_multinest(n_live_points=n_live, n_batch=16, seed=0)
+        res = model.fit_multinest(n_live_points=n_live, n_batch=16, n_chains=32, seed=0)
         dt = time.perf_counter() - t0
         assert np.isfinite(res.logz)
         return {

@@ -22,6 +22,12 @@ def main(argv=None):
     parser.add_argument("--niter", type=int, default=100)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--output", "-O", default="catalog_fit.csv")
+    # multi-host (DCN) fleet: each process fits a contiguous row shard and
+    # writes <output>.partN (gather afterwards from the shared filesystem)
+    parser.add_argument("--multihost", action="store_true")
+    parser.add_argument("--coordinator", default=None)
+    parser.add_argument("--num-processes", type=int, default=None, dest="num_processes")
+    parser.add_argument("--process-id", type=int, default=None, dest="process_id")
     args = parser.parse_args(argv)
     if args.platform:
         import jax
@@ -39,13 +45,28 @@ def main(argv=None):
         if str(args.catalog).endswith((".h5", ".hdf", ".hdf5"))
         else pd.read_csv(args.catalog)
     )
+
+    output = args.output
+    if args.multihost or args.coordinator is not None:
+        from ..parallel.multihost import initialize_distributed, process_shard
+
+        pid, nproc = initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        rows = process_shard(list(range(len(df))), pid, nproc)
+        df = df.iloc[rows]
+        output = f"{args.output}.part{pid}"
+        print(f"[multihost] process {pid}/{nproc}: {len(df)} star(s) -> {output}")
+
     cat = StarCatalog(df, bands=args.bands, props=args.props)
     ic = get_ichrone(args.models, bands=list(cat.bands))
     _, summary = fit_catalog(
         ic, cat, nwalkers=args.nwalkers, nburn=args.nburn, niter=args.niter, seed=args.seed
     )
-    summary.to_csv(args.output)
-    print(f"{len(cat)} stars fitted; per-star quantiles written to {args.output}")
+    summary.to_csv(output)
+    print(f"{len(cat)} stars fitted; per-star quantiles written to {output}")
     return 0
 
 

@@ -36,7 +36,26 @@ __all__ = [
     "interp_nd",
     "corner_data",
     "GridInterpolator",
+    "REFERENCE_DEVIATIONS",
 ]
+
+#: Machine-readable registry of intentional semantic deviations from the
+#: reference implementation. Golden-value / parity harnesses should consult
+#: this before comparing outputs point-by-point (tests/reference_oracle.py and
+#: tests/test_realdata.py carry the corresponding carve-outs).
+REFERENCE_DEVIATIONS = {
+    "top_knot_clamp": {
+        "where": "interp_nd exact top-knot queries",
+        "reference": "isochrones/interp.py:77-82 — numba kernel reads one row "
+                     "past the axis end with weight 0 (undefined behavior; in "
+                     "practice returns garbage*0 or poisons with NaN)",
+        "here": "upper corner index clamped to the last knot; an exact "
+                "top-knot query returns the exact grid value",
+        "impact": "only queries with a coordinate exactly equal to the LAST "
+                  "knot of any axis differ; interior and OOB semantics match "
+                  "bit-for-bit",
+    },
+}
 
 
 @jax.tree_util.register_pytree_node_class

@@ -89,22 +89,35 @@ def process_shard(
     return items[start:stop]
 
 
-def fleet_map(fn, items: Sequence, barrier: bool = True, **dist_kwargs) -> list:
+def fleet_map(fn, items: Sequence, barrier: bool = True, timeout_s: float = 86400.0, **dist_kwargs) -> list:
     """Run ``fn(item)`` over this process's shard of ``items``.
 
     The whole-fleet pattern for independent fits: call on every host with the
     same ``items``; each host processes only its shard. With ``barrier=True``
     all processes synchronize at the end (so a driver can safely gather
-    outputs from a shared filesystem afterwards).
+    outputs from a shared filesystem afterwards); ``timeout_s`` bounds the
+    wait for stragglers.
     """
     pid, nproc = initialize_distributed(**dist_kwargs)
     results = [fn(item) for item in process_shard(items, pid, nproc)]
     if barrier and nproc > 1:
-        import jax
-
-        # cheap cross-host sync: a tiny global psum over DCN
-        import jax.numpy as jnp
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("isochrones_tpu_fleet_map")
+        _fleet_barrier("isochrones_tpu_fleet_map_end", timeout_s=timeout_s)
     return results
+
+
+def _fleet_barrier(name: str, timeout_s: float = 86400.0):
+    """Cross-process barrier via the jax.distributed COORDINATION service.
+
+    Deliberately NOT a device collective (`sync_global_devices`): a gloo/ICI
+    collective creates its transport pairs lazily at first use with a short
+    connect timeout, so a barrier first reached minutes apart (shards of
+    independent fits routinely finish minutes apart) times out. The
+    coordination-service barrier is control-plane gRPC with an explicit
+    timeout and no data-plane setup.
+    """
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        return  # single-process run
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))

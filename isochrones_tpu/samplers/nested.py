@@ -76,18 +76,37 @@ def _assemble_weights(dead_lnl: np.ndarray, live_lnl: np.ndarray, n_live: int):
     return order, all_lnl, all_logwt, float(logz), probs, ess
 
 
-def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_groups, n_chains, n_repeat):
+def _live_cholesky(live_u):
+    """Cholesky factor of the live-point covariance (+ jitter) — whitens walk
+    proposals so correlated/ridge-shaped constrained regions (e.g. the
+    EEP-age degeneracy) mix as fast as isotropic ones. Without this the
+    isotropic walk leaves replacements correlated with their start points,
+    which biases the shrinkage schedule by O(1) nats on hard targets."""
+    mu = jnp.mean(live_u, axis=0)
+    c = live_u - mu
+    cov = (c.T @ c) / live_u.shape[0]
+    d = live_u.shape[-1]
+    cov = cov + 1e-12 * jnp.eye(d, dtype=live_u.dtype)
+    return jnp.linalg.cholesky(cov)
+
+
+def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_groups, n_chains, n_repeat, L=None):
     """Random-walk exploration of {u : lnlike(u) > lnl_star} in the unit cube.
 
     Runs ``n_groups * n_chains`` chains (one likelihood batch); per group,
     returns one accepted sample (random among that group's moved chains)
     plus the overall acceptance rate. start: (n_groups * n_chains, dim).
+    ``L``: optional covariance Cholesky factor — proposals are ``L @ n``
+    (whitened) instead of isotropic.
     """
 
     def step(carry, _):
         key, x, lnl, n_acc = carry
         key, k_prop, k_acc = jax.random.split(key, 3)
-        eps = jax.random.normal(k_prop, x.shape, dtype=x.dtype) * scale
+        eps = jax.random.normal(k_prop, x.shape, dtype=x.dtype)
+        if L is not None:
+            eps = eps @ L.T
+        eps = eps * scale
         prop = x + eps
         # reflect at the cube boundary
         prop = jnp.abs(prop)
@@ -139,13 +158,15 @@ def _nested_core(lnlike_u, u0, lnl0, key, scale0, n_live, n_iter, n_chains, n_re
         starts = order[pick]
         x0 = live_u[starts]
         l0 = live_lnl[starts]
+        L = _live_cholesky(live_u)
         new_u, new_lnl, moved, acc = _constrained_walk(
-            lnlike_u, k_walk, x0, l0, lnl_star, scale, K, n_chains, n_repeat
+            lnlike_u, k_walk, x0, l0, lnl_star, scale, K, n_chains, n_repeat, L=L
         )
         live_u = live_u.at[worst_idx].set(new_u)
         live_lnl = live_lnl.at[worst_idx].set(new_lnl)
-        # adapt scale toward ~35% acceptance
-        scale = jnp.clip(scale * jnp.exp(0.7 * (acc - 0.35)), 1e-5, 1.0)
+        # adapt scale toward ~35% acceptance (dimensionless: proposals are
+        # whitened by the live covariance, so O(1) scales are ideal)
+        scale = jnp.clip(scale * jnp.exp(0.7 * (acc - 0.35)), 1e-4, 4.0)
         return (key, live_u, live_lnl, scale), (dead_u, dead_lnl)
 
     (key, live_u, live_lnl, scale), (dead_u, dead_lnl) = jax.lax.scan(
@@ -173,6 +194,7 @@ def run_nested(
     rng=None,
     min_ess: float = 100.0,
     on_low_ess: str = "extend",
+    core: Callable = None,
 ) -> NestedResult:
     """Nested-sampling fit.
 
@@ -193,6 +215,11 @@ def run_nested(
         ``result.truncated = True``; "raise" -> RuntimeError. (With the
         default ``max_iter=None`` budget, extension keeps shrinking until
         the ESS criterion is met.)
+    core : replacement-kernel override with the signature of
+        :func:`_nested_core` (same carry/return contract). Used by
+        :mod:`isochrones_tpu.samplers.polychord` to drive the chunked
+        shrinkage/termination machinery with slice-sampling replacement —
+        an independent constrained sampler for NS-vs-NS cross-checks.
     """
     hard_cap = max_iter if max_iter is not None else 1000 * n_live
     n_batch = max(1, min(int(n_batch), n_live // 4))
@@ -233,12 +260,13 @@ def run_nested(
     chunk_steps = max(chunk // n_batch, 8)  # scan steps per compiled chunk
     live_u_j = jnp.asarray(u0)
     live_lnl_j = jnp.asarray(lnl0)
-    scale = jnp.asarray(0.1, dtype=live_u_j.dtype)
+    scale = jnp.asarray(0.5, dtype=live_u_j.dtype)  # whitened-proposal units
     dead_u_chunks, dead_lnl_chunks = [], []
     n_dead_total = 0
+    core_fn = _nested_core if core is None else core
     while n_dead_total < hard_cap:
         n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
-        du, dl, live_u_j, live_lnl_j, key, scale = _nested_core(
+        du, dl, live_u_j, live_lnl_j, key, scale = core_fn(
             lnlike_u, live_u_j, live_lnl_j, key, scale, n_live, n_steps,
             n_chains, n_repeat, n_batch=n_batch,
         )

@@ -315,6 +315,7 @@ def run_nuts(
     inv_mass0=None,
     ensemble_init: int = 0,
     n_chains: int = None,
+    bounds=None,
 ) -> NutsResult:
     """Multi-chain NUTS.
 
@@ -328,8 +329,36 @@ def run_nuts(
         over the ``x0`` cloud first (gradient-free, scale-invariant) and
         derive chain starts + ``inv_mass0`` from the burned-in walkers — a
         cheap on-device analog of Pathfinder-style warmup initialization.
+    bounds : optional (dim, 2) box bounds. When given, sampling runs in an
+        unbounded logit reparametrization (the Stan treatment of bounded
+        parameters, with the log-Jacobian added to the target): hard box
+        walls (-inf outside) otherwise shed divergences and leave
+        boundary-hugging marginals (e.g. A_V near 0) underdispersed.
     """
     x0 = jnp.asarray(x0)
+    to_z = logjac = None
+    if bounds is not None:
+        bounds = np.asarray(bounds, dtype=float)
+        lo = jnp.asarray(bounds[:, 0], dtype=x0.dtype)
+        span = jnp.asarray(bounds[:, 1] - bounds[:, 0], dtype=x0.dtype)
+
+        def to_z(y):
+            return lo + span * jax.nn.sigmoid(y)
+
+        def logjac(y):
+            return jnp.sum(
+                jnp.log(span) + jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
+            )
+
+        logp_bounded_src = logp_batch
+
+        def logp_batch(yb):  # noqa: F811 — deliberate shadowing
+            return logp_bounded_src(to_z(yb)) + logjac(yb)
+
+        p = jnp.clip((x0 - lo) / span, 1e-9, 1.0 - 1e-9)
+        x0 = jnp.log(p) - jnp.log1p(-p)
+    W = None  # dense-metric whitening transform (z = mu + W y)
+    mu = None
     if ensemble_init and inv_mass0 is None:
         from .ensemble import run_ensemble
 
@@ -338,17 +367,50 @@ def run_nuts(
         key, k_run = jax.random.split(key)
         _, _, state = run_ensemble(logp_batch, x0[:n_walkers], k_run, n_steps=int(ensemble_init))
         cloud = state.walkers
-        # scales from the burned-in cloud; chains start at the highest-
-        # probability walkers (concentrates on the dominant mode)
-        var = jnp.var(cloud, axis=0)
-        inv_mass0 = jnp.where(var > 0, var, 1.0)
+        # DENSE metric from the burned-in cloud: sample in whitened
+        # coordinates y with z = mu + W y, W = chol(cov(cloud)). A diagonal
+        # mass matrix cannot precondition correlated ridges (e.g. the
+        # EEP-age degeneracy at rho ~ 0.99 leaves a condition number of
+        # hundreds and underdispersed tails); whitening by the cloud
+        # covariance is a constant affine reparametrization — exactly a
+        # dense Stan metric — and the diagonal adaptation inside then only
+        # has to fix residual errors. Chains start at the highest-
+        # probability walkers (concentrates on the dominant mode).
+        dim = x0.shape[-1]
+        mu = jnp.mean(cloud, axis=0)
+        c = cloud - mu
+        cov = (c.T @ c) / cloud.shape[0]
+        cov = cov + (1e-10 * jnp.trace(cov) / dim + 1e-30) * jnp.eye(dim, dtype=cov.dtype)
+        W = jnp.linalg.cholesky(cov)
         order = jnp.argsort(-state.ln_prob)
         x0 = cloud[order[:n_chains]]
 
+    if W is not None:
+        from jax.scipy.linalg import solve_triangular
+
+        logp_z = logp_batch
+
+        def logp_batch_y(y):
+            return logp_z(mu[None, :] + y @ W.T)
+
+        x0_run = solve_triangular(W, (x0 - mu[None, :]).T, lower=True).T
+        logp_run = logp_batch_y
+        inv_mass_run = jnp.ones(x0.shape[-1], dtype=x0.dtype)
+    else:
+        x0_run = x0
+        logp_run = logp_batch
+        inv_mass_run = inv_mass0
+
     chain, lnp_chain, eps, inv_mass, acc, ndiv = _nuts_run(
-        logp_batch, x0, key, x0.shape[-1], int(n_warmup), int(n_samples),
-        int(max_depth), float(target_accept), inv_mass0=inv_mass0,
+        logp_run, x0_run, key, x0.shape[-1], int(n_warmup), int(n_samples),
+        int(max_depth), float(target_accept), inv_mass0=inv_mass_run,
     )
+    if W is not None:
+        chain = mu[None, None, :] + jnp.einsum("scd,ed->sce", chain, W)
+    if to_z is not None:
+        # back to parameter space; report lnp WITHOUT the logit Jacobian
+        lnp_chain = lnp_chain - logjac(chain)
+        chain = to_z(chain)
     return NutsResult(
         samples=np.asarray(chain),
         lnp=np.asarray(lnp_chain),

@@ -44,7 +44,7 @@ def main():
             iso, Teff=(Teff, 100.0), J=(float(mags[0]), 0.02), H=(float(mags[1]), 0.02),
             parallax=(5.0, 0.05),
         )
-        df = m.fit_mcmc(nwalkers=32, nburn=100, niter=30, seed=int(eep_true))
+        df = m.fit_mcmc(nwalkers=64, nburn=500, niter=50, seed=int(eep_true), moves="mixed")
         return {"eep_true": eep_true, "eep_med": float(df["eep"].median())}
 
     results = fleet_map(fit_one, work)  # shards + barrier internally
