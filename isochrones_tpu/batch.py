@@ -103,28 +103,56 @@ class BatchStarFitter:
         self._lnpost = None
 
     # ------------------------------------------------------------- posterior
+    @property
+    def star_data(self):
+        """Per-star observation pytree with a leading star axis — the data
+        argument of :meth:`lnpost_data` (vmap over axis 0 for per-star use)."""
+        has_plax = self.plax_vals is not None
+        return dict(
+            spec_vals=jnp.asarray(self.spec_vals)[:, None, :],  # (S, 1, 3)
+            spec_uncs=jnp.asarray(self.spec_uncs)[:, None, :],
+            mag_vals=jnp.asarray(self.mag_vals)[:, None, :],  # (S, 1, nb)
+            mag_uncs=jnp.asarray(self.mag_uncs)[:, None, :],
+            plax=(jnp.asarray(self.plax_vals)[:, None] if has_plax else None),
+            plax_unc=(jnp.asarray(self.plax_uncs)[:, None] if has_plax else None),
+            d_hi=jnp.asarray(self.max_distance)[:, None],  # (S, 1)
+        )
+
     def _build_lnpost(self):
+        lnpost_data = self._build_lnpost_data()
+        data = self.star_data
+
+        def lnpost(pars):
+            return lnpost_data(data, pars)
+
+        return lnpost
+
+    def _build_lnpost_data(self):
+        """Fused posterior as ``lnpost(data, pars)`` with the per-star
+        observations passed as DATA (leading star axis) — the same kernel
+        serves the lockstep-MCMC path (full (S, B, 5) batches) and the
+        vmapped per-star nested-sampling path."""
         ic = self.ic
         io = tuple(ic._param_index_order)
         pack6 = ic.model_packed6
         bc = ic.bc
         band_icols = tuple(bc.column_index[b] for b in self.bands)
-        spec_vals = jnp.asarray(self.spec_vals)[:, None, :]  # (S, 1, 3)
-        spec_uncs = jnp.asarray(self.spec_uncs)[:, None, :]
-        mag_vals = jnp.asarray(self.mag_vals)[:, None, :]  # (S, 1, nb)
-        mag_uncs = jnp.asarray(self.mag_uncs)[:, None, :]
-        has_plax = self.plax_vals is not None
-        if has_plax:
-            plax = jnp.asarray(self.plax_vals)[:, None]
-            plax_unc = jnp.asarray(self.plax_uncs)[:, None]
-        d_hi = jnp.asarray(self.max_distance)[:, None]  # (S, 1)
         priors = self.priors
         eep_lo, eep_hi = self.eep_bounds
         age_prior = priors["age"]
         mass_prior = priors["mass"]
 
-        def lnpost(pars):
+        def lnpost(data, pars):
             # pars: (S, B, 5) = (eep, age, feh, distance, AV)
+            spec_vals = data["spec_vals"]
+            spec_uncs = data["spec_uncs"]
+            mag_vals = data["mag_vals"]
+            mag_uncs = data["mag_uncs"]
+            has_plax = data["plax"] is not None
+            if has_plax:
+                plax = data["plax"]
+                plax_unc = data["plax_unc"]
+            d_hi = data["d_hi"]
             user = [pars[..., i] for i in range(5)]
             grid_pts = jnp.stack([user[io[0]], user[io[1]], user[io[2]]], axis=-1)
             vals6 = interp_nd(
@@ -173,6 +201,182 @@ class BatchStarFitter:
             return jnp.where(jnp.isfinite(lnp), lnp + ll, -jnp.inf)
 
         return lnpost
+
+    # ------------------------------------------------------- nested sampling
+    def _bounds_arrays(self):
+        """Per-star parameter boxes: (los (5,), his (S, 5))."""
+        los = np.array([
+            self.eep_bounds[0],
+            self.priors["age"].bounds[0],
+            self.priors["feh"].bounds[0],
+            0.0,
+            self.priors["AV"].bounds[0],
+        ])
+        his_shared = np.array([
+            self.eep_bounds[1],
+            self.priors["age"].bounds[1],
+            self.priors["feh"].bounds[1],
+            0.0,  # per-star below
+            self.priors["AV"].bounds[1],
+        ])
+        his = np.broadcast_to(his_shared, (self.n_stars, 5)).copy()
+        his[:, 3] = self.max_distance
+        return los, his
+
+    def fit_multinest(
+        self,
+        n_live_points=500,
+        max_iter=None,
+        n_batch=8,
+        n_chains=8,
+        n_repeat=24,
+        n_equal=2000,
+        dlogz=0.01,
+        min_ess=100.0,
+        seed=None,
+    ):
+        """Per-star nested sampling for the WHOLE catalog, vmapped across the
+        star axis — every chunk of shrinkage iterations is one XLA program
+        advancing all S stars' live sets in lockstep (the reference's
+        SLURM-array-of-MultiNest-runs collapsed onto one chip). Returns a
+        dict with per-star ``logz``/``logzerr``/``ess`` arrays and sets
+        ``self.samples`` to (S, n_equal, 5) equal-weight posterior draws.
+        """
+        from functools import partial as _partial
+
+        from .samplers.nested import _assemble_weights, _nested_core
+
+        S, n_live = self.n_stars, int(n_live_points)
+        n_batch = max(1, min(int(n_batch), n_live // 4))
+        hard_cap = max_iter if max_iter is not None else 1000 * n_live
+        rng = np.random.default_rng(seed)
+        lnpost_data = self._build_lnpost_data()
+        data = self.star_data
+        los, his = self._bounds_arrays()
+        los_j = jnp.asarray(los)
+        his_j = jnp.asarray(his)
+
+        def star_lnlike(data_s, hi, u):
+            # u: (B, 5) unit cube for ONE star -> lnpost at box params
+            pars = los_j[None, :] + (hi[None, :] - los_j[None, :]) * u
+            # lnpost_data expects a leading star axis; add a singleton
+            data_1 = jax.tree_util.tree_map(
+                lambda x: x[None] if x is not None else None, data_s,
+                is_leaf=lambda x: x is None,
+            )
+            return lnpost_data(data_1, pars[None])[0]
+
+        @_partial(jax.jit, static_argnames=("n_steps",))
+        def batch_core(data, his, u0, lnl0, keys, scales, n_steps):
+            def one(data_s, hi, u0s, lnl0s, key, scale):
+                def lnlike_u(u):
+                    return star_lnlike(data_s, hi, u)
+
+                return _nested_core(
+                    lnlike_u, u0s, lnl0s, key, scale, n_live, n_steps,
+                    n_chains, n_repeat, n_batch=n_batch,
+                )
+
+            return jax.vmap(one)(data, his, u0, lnl0, keys, scales)
+
+        # ---- initialize live points (full-batch resample of -inf starts)
+        u0 = rng.random((S, n_live, 5))
+        lnl = np.asarray(
+            self.lnpost_batch(jnp.asarray(los[None, None] + (his[:, None] - los[None, None]) * u0))
+        )
+        lnl = np.where(np.isnan(lnl), -np.inf, lnl)
+        for _ in range(200):
+            bad = ~np.isfinite(lnl)
+            if not bad.any():
+                break
+            u_new = rng.random((S, n_live, 5))
+            l_new = np.asarray(
+                self.lnpost_batch(jnp.asarray(los[None, None] + (his[:, None] - los[None, None]) * u_new))
+            )
+            l_new = np.where(np.isnan(l_new), -np.inf, l_new)
+            take = bad & np.isfinite(l_new)
+            u0 = np.where(take[..., None], u_new, u0)
+            lnl = np.where(take, l_new, lnl)
+        if not np.isfinite(lnl).all():
+            getLogger().warning(
+                "fit_multinest: %d live points still invalid after init resampling",
+                int((~np.isfinite(lnl)).sum()),
+            )
+
+        live_u = jnp.asarray(u0)
+        live_lnl = jnp.asarray(lnl)
+        keys = jax.random.split(jax.random.PRNGKey(seed if seed is not None else 0), S)
+        scales = jnp.full((S,), 0.5)
+        chunk_steps = max(max(n_live, 256) // n_batch, 8)
+        dead_lnl_chunks = []
+        dead_u_chunks = []
+        n_dead_total = 0
+        done = np.zeros(S, dtype=bool)
+        while n_dead_total < hard_cap:
+            n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
+            du, dl, live_u, live_lnl, keys, scales = batch_core(
+                data, his_j, live_u, live_lnl, keys, scales, n_steps
+            )
+            dead_u_chunks.append(np.asarray(du))  # (S, n_steps * K, 5)
+            dead_lnl_chunks.append(np.asarray(dl))
+            n_dead_total += n_steps * n_batch
+
+            all_dl = np.concatenate(dead_lnl_chunks, axis=1)
+            live_now = np.asarray(live_lnl)
+            ln_x_last = -n_dead_total / n_live
+            for s in np.where(~done)[0]:
+                _, _, _, logz_dead, _, ess_now = _assemble_weights(all_dl[s], live_now[s], n_live)
+                logz_remain = float(np.max(live_now[s])) + ln_x_last
+                dlogz_met = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain)) < dlogz
+                done[s] = bool(dlogz_met and ess_now >= min_ess)
+            if done.all():
+                break
+
+        dead_u = np.concatenate(dead_u_chunks, axis=1)
+        dead_lnl = np.concatenate(dead_lnl_chunks, axis=1)
+        live_u_np = np.asarray(live_u)
+        live_lnl_np = np.asarray(live_lnl)
+
+        # ---- per-star evidence + equal-weight posterior assembly
+        logz = np.empty(S)
+        logzerr = np.empty(S)
+        ess = np.empty(S)
+        samples = np.empty((S, n_equal, 5))
+        lnprob = np.empty((S, n_equal))
+        for s in range(S):
+            order, all_lnl, all_logwt, lz, probs, e = _assemble_weights(
+                dead_lnl[s], live_lnl_np[s], n_live
+            )
+            all_u = np.concatenate([dead_u[s], live_u_np[s][order]], axis=0)
+            finite = np.isfinite(all_logwt)
+            p = np.exp(all_logwt[finite] - lz)
+            h = float(np.sum(p * (all_lnl[finite] - lz)))
+            logz[s] = lz
+            logzerr[s] = np.sqrt(max(h, 0.0) / n_live)
+            ess[s] = e
+            idx = rng.choice(len(probs), size=n_equal, replace=True, p=probs)
+            samples[s] = los[None] + (his[s][None] - los[None]) * all_u[idx]
+            lnprob[s] = all_lnl[idx]
+
+        if not done.all():
+            getLogger().warning(
+                "fit_multinest: %d/%d stars hit the iteration budget before "
+                "dlogz+ESS termination; their quantiles/evidences may be "
+                "unreliable (raise max_iter or n_live_points).",
+                int((~done).sum()), S,
+            )
+
+        self._samples = samples
+        self._lnprob = lnprob
+        self._evidence = (logz, logzerr)
+        return dict(logz=logz, logzerr=logzerr, ess=ess, n_dead=n_dead_total, converged=done)
+
+    @property
+    def evidence(self):
+        """(logz, logzerr) per-star arrays from fit_multinest."""
+        if getattr(self, "_evidence", None) is None:
+            raise AttributeError("No evidence yet; run .fit_multinest()")
+        return self._evidence
 
     @property
     def lnpost_batch(self):
@@ -236,7 +440,7 @@ class BatchStarFitter:
     @property
     def samples(self):
         if self._samples is None:
-            raise AttributeError("No samples yet; run .fit_mcmc()")
+            raise AttributeError("No samples yet; run .fit_mcmc() or .fit_multinest()")
         return self._samples
 
     def summary(self, qs=(0.16, 0.5, 0.84)):
@@ -253,9 +457,24 @@ class BatchStarFitter:
         return df
 
 
-def fit_catalog(ic, catalog, nwalkers=128, nburn=500, niter=100, seed=None, **kwargs):
+def fit_catalog(
+    ic, catalog, method="mcmc", nwalkers=128, nburn=500, niter=100,
+    n_live_points=500, seed=None, **kwargs,
+):
     """Convenience: fit every star of ``catalog`` at once; returns
-    (BatchStarFitter, per-star quantile summary)."""
+    (BatchStarFitter, per-star quantile summary).
+
+    method : "mcmc" (lockstep ensembles) or "nested" (per-star vmapped
+        nested sampling — also yields per-star evidences in
+        ``fitter.evidence`` for catalog-scale model comparison)."""
     fitter = BatchStarFitter(ic, catalog, **kwargs)
-    fitter.fit_mcmc(nwalkers=nwalkers, nburn=nburn, niter=niter, seed=seed)
-    return fitter, fitter.summary()
+    if method == "nested":
+        fitter.fit_multinest(n_live_points=n_live_points, seed=seed)
+    else:
+        fitter.fit_mcmc(nwalkers=nwalkers, nburn=nburn, niter=niter, seed=seed)
+    summary = fitter.summary()
+    if method == "nested":
+        logz, logzerr = fitter.evidence
+        summary["logz"] = logz
+        summary["logzerr"] = logzerr
+    return fitter, summary

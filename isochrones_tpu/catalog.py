@@ -25,8 +25,14 @@ class StarCatalog:
 
     df : DataFrame with ``<band>_mag``/``<band>_mag_unc`` columns (bands
         inferred from ``*_mag`` names when not given) and ``prop``/
-        ``prop_unc`` columns for each entry of ``props``.
+        ``prop_unc`` columns for each entry of ``props``. When ``props``
+        is None, known spectroscopic/astrometric properties present with
+        an ``_unc`` partner are auto-detected (mirrors the reference
+        StarModel's ini-key inference, starmodel.py) — pass ``props=()``
+        to use photometry only.
     """
+
+    KNOWN_PROPS = ("Teff", "logg", "feh", "parallax", "density", "AV")
 
     def __init__(self, df, bands=None, props=None, no_uncs=False):
         self._df = df
@@ -35,7 +41,12 @@ class StarCatalog:
             bands = [m.group(1) for c in df.columns if (m := re.search("(.+)_mag$", c))]
         self.bands = tuple(bands)
         self.band_cols = tuple(f"{b}_mag" for b in self.bands)
-        self.props = tuple() if props is None else tuple(props)
+        if props is None:
+            props = tuple(
+                p for p in self.KNOWN_PROPS
+                if p in df.columns and f"{p}_unc" in df.columns
+            )
+        self.props = tuple(props)
 
         if not no_uncs:
             for c in self.band_cols + self.props:

@@ -17,6 +17,9 @@ def main(argv=None):
     parser.add_argument("--bands", nargs="*", default=None)
     parser.add_argument("--props", nargs="*", default=None,
                         help="non-photometric columns (Teff, logg, feh, parallax)")
+    parser.add_argument("--method", choices=["mcmc", "nested"], default="mcmc",
+                        help="'nested' also writes per-star log-evidences")
+    parser.add_argument("--n-live-points", type=int, default=500, dest="n_live_points")
     parser.add_argument("--nwalkers", type=int, default=128)
     parser.add_argument("--nburn", type=int, default=500)
     parser.add_argument("--niter", type=int, default=100)
@@ -63,7 +66,8 @@ def main(argv=None):
     cat = StarCatalog(df, bands=args.bands, props=args.props)
     ic = get_ichrone(args.models, bands=list(cat.bands))
     _, summary = fit_catalog(
-        ic, cat, nwalkers=args.nwalkers, nburn=args.nburn, niter=args.niter, seed=args.seed
+        ic, cat, method=args.method, nwalkers=args.nwalkers, nburn=args.nburn,
+        niter=args.niter, n_live_points=args.n_live_points, seed=args.seed,
     )
     summary.to_csv(output)
     print(f"{len(cat)} stars fitted; per-star quantiles written to {output}")

@@ -95,3 +95,28 @@ def test_batch_requires_iso(setup):
     iso, cat, _ = setup
     with pytest.raises(ValueError):
         BatchStarFitter(iso.track, cat)
+
+
+@pytest.mark.slow
+def test_batch_nested_evidence_and_recovery(setup):
+    """Whole-catalog per-star nested sampling in one vmapped program:
+    evidences finite + converged, per-star truth recovery, and an S=1
+    rerun reproduces the batched star's evidence within errors."""
+    iso, cat, truths = setup
+    fitter = BatchStarFitter(iso, cat)
+    res = fitter.fit_multinest(n_live_points=300, n_batch=8, seed=3)
+    assert np.isfinite(res["logz"]).all()
+    assert res["converged"].all()
+    assert (res["ess"] > 100).all()
+    for i in range(fitter.n_stars):
+        med = np.median(fitter.samples[i], axis=0)
+        assert abs(med[1] - truths.age[i]) < 0.3, (i, med)
+        assert abs(med[3] - truths.distance[i]) < 0.05 * truths.distance[i], (i, med)
+
+    cat0 = StarCatalog(cat.df.iloc[[0]].copy(), bands=BANDS, props=("Teff", "logg", "parallax"))
+    f0 = BatchStarFitter(iso, cat0)
+    r0 = f0.fit_multinest(n_live_points=300, n_batch=8, seed=7)
+    # shrinkage-based logzerr (~0.2) underestimates the true run-to-run
+    # scatter (~0.7 nat measured over seeds: MCMC replacement chains are
+    # finitely correlated); tolerance reflects the measured 3-sigma spread
+    assert abs(res["logz"][0] - r0["logz"][0]) < 2.2
