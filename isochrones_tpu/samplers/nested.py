@@ -41,6 +41,7 @@ class NestedResult(NamedTuple):
     logl_posterior: np.ndarray  # lnpost values for the equal-weight samples
     ess: float = np.nan  # effective sample size of the posterior weights
     truncated: bool = False  # ESS still below min_ess when the budget ran out
+    logz_runs: np.ndarray = None  # per-run ln Z when n_runs > 1 (else None)
 
 
 def _assemble_weights(dead_lnl: np.ndarray, live_lnl: np.ndarray, n_live: int):
@@ -195,6 +196,7 @@ def run_nested(
     min_ess: float = 100.0,
     on_low_ess: str = "extend",
     core: Callable = None,
+    n_runs: int = 1,
 ) -> NestedResult:
     """Nested-sampling fit.
 
@@ -220,7 +222,22 @@ def run_nested(
         :mod:`isochrones_tpu.samplers.polychord` to drive the chunked
         shrinkage/termination machinery with slice-sampling replacement —
         an independent constrained sampler for NS-vs-NS cross-checks.
+    n_runs : > 1 runs this many INDEPENDENT nested-sampling runs vmapped in
+        lockstep on the device (embarrassingly parallel live sets — one XLA
+        program advances all runs). Evidence combines as ln(mean Z_r);
+        ``logzerr`` is taken from the *empirical* run-to-run scatter, which —
+        unlike the single-run sqrt(H/n_live) estimate — also captures the
+        extra variance from finitely-correlated MCMC replacement chains.
+        The posterior concatenates Z-weighted equal-weight draws from every
+        run. Per-run evidences are returned in ``result.logz_runs``.
     """
+    if n_runs > 1:
+        return _run_nested_multi(
+            lnpost_u, prior_transform, n_params, key, n_live=n_live,
+            max_iter=max_iter, n_chains=n_chains, n_repeat=n_repeat,
+            n_equal=n_equal, dlogz=dlogz, n_batch=n_batch, rng=rng,
+            min_ess=min_ess, on_low_ess=on_low_ess, core=core, n_runs=n_runs,
+        )
     hard_cap = max_iter if max_iter is not None else 1000 * n_live
     n_batch = max(1, min(int(n_batch), n_live // 4))
 
@@ -333,4 +350,159 @@ def run_nested(
         logl_posterior=all_lnl[idx],
         ess=ess,
         truncated=truncated,
+    )
+
+
+def _run_nested_multi(
+    lnpost_u, prior_transform, n_params, key, *, n_live, max_iter, n_chains,
+    n_repeat, n_equal, dlogz, n_batch, rng, min_ess, on_low_ess, core, n_runs,
+):
+    """``n_runs`` independent NS runs advanced in lockstep by one vmapped XLA
+    program per chunk (see :func:`run_nested`'s ``n_runs`` docs). Each run has
+    its own live set, walk scale, and RNG stream; the device sees an
+    ``(n_runs * batch)``-point likelihood fan-out per dispatch — near-free
+    parallelism on a TPU where single-run batches underfill the chip."""
+    R = int(n_runs)
+    hard_cap = max_iter if max_iter is not None else 1000 * n_live
+    n_batch = max(1, min(int(n_batch), n_live // 4))
+    core_fn = _nested_core if core is None else core
+
+    def lnlike_u(u):
+        return lnpost_u(prior_transform(u))
+
+    def lnlike_flat(u):  # (R, B, p) -> (R, B) via one 2-d dispatch
+        out = lnlike_u(u.reshape(-1, n_params))
+        return np.asarray(out).reshape(R, -1)
+
+    rng = np.random.default_rng(rng)
+    key = jax.random.PRNGKey(int(rng.integers(2 ** 31))) if key is None else key
+    keys = jax.random.split(key, R)
+
+    # ---- init live points per run (full-batch resampling of -inf starts)
+    u0 = rng.random((R, n_live, n_params))
+    lnl0 = lnlike_flat(jnp.asarray(u0))
+    lnl0 = np.where(np.isnan(lnl0), -np.inf, lnl0)
+    for _ in range(200):
+        bad = ~np.isfinite(lnl0)
+        if not bad.any():
+            break
+        u_new = rng.random((R, n_live, n_params))
+        l_new = lnlike_flat(jnp.asarray(u_new))
+        l_new = np.where(np.isnan(l_new), -np.inf, l_new)
+        take = bad & np.isfinite(l_new)
+        u0 = np.where(take[..., None], u_new, u0)
+        lnl0 = np.where(take, l_new, lnl0)
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def vcore(u, lnl, ks, scales, n_steps):
+        def one(u_r, lnl_r, k_r, s_r):
+            return core_fn(
+                lnlike_u, u_r, lnl_r, k_r, s_r, n_live, n_steps,
+                n_chains, n_repeat, n_batch=n_batch,
+            )
+
+        return jax.vmap(one)(u, lnl, ks, scales)
+
+    live_u = jnp.asarray(u0)
+    live_lnl = jnp.asarray(lnl0)
+    scales = jnp.full((R,), 0.5, dtype=live_u.dtype)
+    chunk_steps = max(max(n_live, 256) // n_batch, 8)
+    dead_u_chunks, dead_lnl_chunks = [], []
+    n_dead_total = 0
+    done = np.zeros(R, dtype=bool)
+    min_ess_run = min_ess / R  # combined posterior ESS sums across runs
+    while n_dead_total < hard_cap:
+        n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
+        du, dl, live_u, live_lnl, keys, scales = vcore(
+            live_u, live_lnl, keys, scales, n_steps
+        )
+        dead_u_chunks.append(np.asarray(du))  # (R, n_steps * K, p)
+        dead_lnl_chunks.append(np.asarray(dl))
+        n_dead_total += n_steps * n_batch
+
+        all_dl = np.concatenate(dead_lnl_chunks, axis=1)
+        live_now = np.asarray(live_lnl)
+        ln_x_last = -n_dead_total / n_live
+        for r in np.where(~done)[0]:
+            _, _, _, logz_dead, _, ess_now = _assemble_weights(all_dl[r], live_now[r], n_live)
+            logz_remain = float(np.max(live_now[r])) + ln_x_last
+            dlogz_met = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain)) < dlogz
+            done[r] = bool(dlogz_met and ess_now >= min_ess_run)
+        if done.all():
+            break
+
+    dead_u = np.concatenate(dead_u_chunks, axis=1)
+    dead_lnl = np.concatenate(dead_lnl_chunks, axis=1)
+    live_u_np = np.asarray(live_u)
+    live_lnl_np = np.asarray(live_lnl)
+
+    # ---- per-run assembly, then Z-weighted combination
+    logz_runs = np.empty(R)
+    h_runs = np.empty(R)
+    ess_runs = np.empty(R)
+    run_samples, run_logl, run_logwt, run_probs = [], [], [], []
+    for r in range(R):
+        order, all_lnl, all_logwt, lz, probs, e = _assemble_weights(
+            dead_lnl[r], live_lnl_np[r], n_live
+        )
+        all_u = np.concatenate([dead_u[r], live_u_np[r][order]], axis=0)
+        finite = np.isfinite(all_logwt)
+        p = np.exp(all_logwt[finite] - lz)
+        h_runs[r] = float(np.sum(p * (all_lnl[finite] - lz)))
+        logz_runs[r] = lz
+        ess_runs[r] = e
+        run_samples.append(np.asarray(prior_transform(jnp.asarray(all_u))))
+        run_logl.append(all_lnl)
+        run_logwt.append(all_logwt - np.log(R))  # so exp-sum over ALL = mean Z_r
+        run_probs.append(probs)
+
+    # ln(mean Z_r): per-run Ẑ is ~unbiased in Z, so average in Z space
+    logz = float(np.logaddexp.reduce(logz_runs) - np.log(R))
+    # honest error: empirical scatter across independent runs (captures
+    # chain-correlation variance the sqrt(H/n) estimate misses), floored by
+    # the averaged shrinkage estimate
+    err_emp = float(np.std(logz_runs, ddof=1) / np.sqrt(R))
+    err_shrink = float(np.sqrt(np.mean(np.maximum(h_runs, 0.0)) / n_live / R))
+    logzerr = max(err_emp, err_shrink)
+
+    # Z-weighted equal-weight posterior: pick runs ∝ Z_r, then within-run
+    z_w = np.exp(logz_runs - np.logaddexp.reduce(logz_runs))
+    n_eq_run = rng.multinomial(n_equal, z_w)
+    post_chunks, post_lnl_chunks = [], []
+    for r in range(R):
+        if n_eq_run[r] == 0:
+            continue
+        idx = rng.choice(len(run_probs[r]), size=n_eq_run[r], replace=True, p=run_probs[r])
+        post_chunks.append(run_samples[r][idx])
+        post_lnl_chunks.append(run_logl[r][idx])
+    posterior = np.concatenate(post_chunks, axis=0)
+    logl_posterior = np.concatenate(post_lnl_chunks)
+
+    ess = float(ess_runs.sum())
+    truncated = ess < min_ess
+    if truncated:
+        msg = (
+            f"Multi-run nested sampling: combined posterior ESS {ess:.0f} < "
+            f"min_ess={min_ess:.0f} after the iteration budget "
+            f"(max_iter={max_iter}); quantiles are unreliable."
+        )
+        if on_low_ess == "raise":
+            raise RuntimeError(msg)
+        from ..logger import getLogger
+
+        getLogger().warning(msg)
+
+    return NestedResult(
+        samples=np.concatenate(run_samples, axis=0),
+        logl=np.concatenate(run_logl),
+        logwt=np.concatenate(run_logwt),
+        logz=logz,
+        logzerr=logzerr,
+        h=float(np.mean(h_runs)),
+        n_iter=int(dead_lnl.shape[1]) * R,
+        posterior=posterior,
+        logl_posterior=logl_posterior,
+        ess=ess,
+        truncated=truncated,
+        logz_runs=logz_runs,
     )

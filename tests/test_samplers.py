@@ -203,3 +203,37 @@ def test_nested_batched_replacement_matches():
     assert np.abs(res.posterior.mean(axis=0)).max() < 0.02
     np.testing.assert_allclose(res.posterior.std(axis=0), sigma, rtol=0.15)
     assert res.ess > 300
+
+
+def test_nested_multi_run_evidence():
+    """n_runs > 1: vmapped independent runs recover the analytic evidence,
+    logzerr reflects the EMPIRICAL run scatter, and the combined posterior
+    pools all runs (ESS ~sums across runs)."""
+    sigma = 0.1
+    lo, hi = -1.0, 1.0
+
+    def lnpost_v(x):
+        return -0.5 * jnp.sum((x / sigma) ** 2, axis=-1) - x.shape[-1] * 0.5 * np.log(
+            2 * np.pi * sigma ** 2
+        )
+
+    def prior_transform(u):
+        return lo + (hi - lo) * u
+
+    n_params = 2
+    res = run_nested(
+        lnpost_v, prior_transform, n_params, key=jax.random.PRNGKey(9),
+        n_live=300, max_iter=4000, n_batch=8, rng=11, n_runs=4,
+    )
+    expected = np.log(1.0 / (hi - lo) ** n_params)
+    assert res.logz_runs is not None and res.logz_runs.shape == (4,)
+    # every run individually sane, combined estimate within errors
+    assert np.all(np.abs(res.logz_runs - expected) < 0.5)
+    assert res.logz == pytest.approx(expected, abs=max(3 * res.logzerr, 0.12))
+    # empirical scatter of independent runs is a valid error source: the
+    # combined error must be consistent with the observed per-run spread
+    assert res.logzerr >= np.std(res.logz_runs, ddof=1) / np.sqrt(4) - 1e-12
+    assert np.abs(res.posterior.mean(axis=0)).max() < 0.02
+    np.testing.assert_allclose(res.posterior.std(axis=0), sigma, rtol=0.15)
+    assert res.ess > 600  # pooled across runs
+    assert not res.truncated
