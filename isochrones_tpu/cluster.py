@@ -209,7 +209,7 @@ class StarClusterModel(BasicStarModel):
         prop_uncs = jnp.asarray(prop_uncs_np)
         star_w = jnp.asarray(star_w_np)
 
-        from .ops.cluster import calc_lnlike_grid, integrate_over_eeps
+        from .ops.cluster import cluster_lnmarginal
 
         def block_lnlike(p, mv, mu, pv, pu, w):
             """Cluster lnlike over one block of stars. The EEP-ladder model
@@ -259,15 +259,15 @@ class StarClusterModel(BasicStarModel):
             ln_dm_safe = jnp.where(valid, ln_dm, 0.0)
             masses_safe = jnp.where(valid, masses, 1.0)
 
-            grid = calc_lnlike_grid(
+            lnmarg = cluster_lnmarginal(
                 lnlike_prop, jnp.where(valid[:, None], model_mags, 0.0), masses_safe,
-                ln_dm_safe, mv, mu, alpha, gamma, fB, mass_lo, mass_hi, minq, valid=valid,
-            )
-            like_tot = integrate_over_eeps(grid, eeps)  # (S_block,)
+                ln_dm_safe, eeps, mv, mu, alpha, gamma, fB, mass_lo, mass_hi, minq,
+                valid=valid,
+            )  # (S_block,) — pallas kernel on TPU, XLA grid path elsewhere
             ok = w > 0
-            logs = jnp.where(ok, jnp.log(jnp.maximum(like_tot, 1e-300)), 0.0)
-            partial = jnp.sum(logs)
-            n_bad = jnp.sum(ok & ((like_tot <= 0) | jnp.isnan(like_tot)))
+            good = jnp.isfinite(lnmarg)
+            partial = jnp.sum(jnp.where(ok & good, lnmarg, 0.0))
+            n_bad = jnp.sum(ok & ~good)
             return partial, n_bad
 
         if mesh is None:
@@ -301,9 +301,14 @@ class StarClusterModel(BasicStarModel):
                 return sharded(p, mag_vals, mag_uncs, prop_vals, prop_uncs, star_w)
 
         n_eep_total = int(maxeep - mineep) + 1
-        # memory-bounded chunked vmap: each walker needs a (Nstars, Neep^2)
-        # grid; cap the in-flight element count at ~2^27 (1 GB f64)
-        per_walker = max(n_stars * n_eep_total * n_eep_total, 1)
+        # memory-bounded chunked vmap. XLA grid path: each walker
+        # materializes a (Nstars, Neep^2) plane. Pallas path (TPU): only the
+        # (Neep^2) q-prior/weight matrices per walker — the star plane never
+        # touches HBM — so far larger chunks fit.
+        if jax.default_backend() == "tpu":
+            per_walker = max(3 * n_eep_total * n_eep_total + n_stars * n_eep_total, 1)
+        else:
+            per_walker = max(n_stars * n_eep_total * n_eep_total, 1)
         max_parallel = max(1, (1 << 27) // per_walker)
 
         def lnlike_batch(p):

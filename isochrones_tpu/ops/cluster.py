@@ -27,7 +27,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["calc_lnlike_grid", "integrate_over_eeps", "cluster_lnlike"]
+__all__ = [
+    "calc_lnlike_grid",
+    "integrate_over_eeps",
+    "cluster_lnlike",
+    "cluster_lnmarginal",
+]
 
 
 def _powerlaw_lnpdf(x, alpha, lo, hi):
@@ -131,6 +136,43 @@ def integrate_over_eeps(lnlike_grid, eeps):
 
     # outer trapz over j
     return jnp.sum(0.5 * (row[:, :-1] + row[:, 1:]) * de[None, :], axis=-1)
+
+
+def cluster_lnmarginal(
+    lnlike_prop, model_mags, masses, ln_dm_deeps, eeps, mag_values, mag_uncs,
+    alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid=None, use_pallas=None,
+):
+    """Per-star ln marginal likelihood (S,) — ``log(integrate_over_eeps(
+    calc_lnlike_grid(...)))`` with a backend switch. On TPU this runs the
+    fused pallas kernel (:mod:`isochrones_tpu.ops.cluster_pallas`), which
+    never materializes the (S, E, E) plane in HBM; elsewhere (and under
+    ``ISOTPU_CLUSTER_PALLAS=0``) it runs the XLA path. Returns -inf where
+    the marginal is zero."""
+    if valid is None:
+        valid = jnp.ones(model_mags.shape[0], dtype=bool)
+    if use_pallas is None:
+        import os
+
+        env = os.environ.get("ISOTPU_CLUSTER_PALLAS", "")
+        if env in ("0", "false"):
+            use_pallas = False
+        elif env in ("1", "true"):
+            use_pallas = True
+        else:
+            use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .cluster_pallas import cluster_lnmarginal_pallas
+
+        return cluster_lnmarginal_pallas(
+            lnlike_prop, model_mags, masses, ln_dm_deeps, eeps, mag_values,
+            mag_uncs, alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid,
+            interpret=jax.default_backend() != "tpu",
+        )
+    grid = calc_lnlike_grid(
+        lnlike_prop, model_mags, masses, ln_dm_deeps, mag_values, mag_uncs,
+        alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid=valid,
+    )
+    return jnp.log(integrate_over_eeps(grid, eeps))
 
 
 @partial(jax.jit, static_argnames=())

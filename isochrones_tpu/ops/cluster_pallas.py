@@ -1,0 +1,244 @@
+"""Pallas TPU kernel for the hierarchical-cluster marginal likelihood.
+
+This is the fused, VMEM-resident version of
+``ops/cluster.py::calc_lnlike_grid`` + ``integrate_over_eeps``
+(reference ``isochrones/cluster_utils.py:9-128``). The XLA path
+materializes the (Nstars, Neep, Neep) binary-mixture grid in HBM and
+re-reads it once per band plus twice for the trapezoids — at MIST scale
+(50 stars x 800 EEPs) that's ~128 MB per buffer and several GB of HBM
+round-trips per posterior evaluation. Here each (star, j-tile) program:
+
+* streams the (TJ, Ep) slabs of the q-prior and trapezoid-weight
+  matrices through VMEM (double-buffered automatically by the pallas
+  pipeline),
+* rebuilds the photometric mixture per band on the VPU in registers
+  (flux rows are tiny and live in VMEM for the whole program),
+* folds the double trapezoid into a single weighted sum-of-exp
+  (see ``trapezoid_weights`` — an exact linear-algebra identity with
+  the pairwise-sum formulation), and
+* accumulates one scalar per star in SMEM.
+
+HBM traffic drops from O(S*E^2*B) to O(E^2) per evaluation; the kernel
+is VPU-bound (transcendentals), which is the speed-of-light regime for
+this op. Numerics: a per-star shift (coarse subsampled max of the
+log-integrand, computed outside) keeps ``exp`` in f32 range — strictly
+better than the XLA path's unshifted ``exp``.
+
+Semantics deviations: none beyond the shift (mathematically identity);
+the reference's lower-triangle/q-floor/validity masking is folded into
+the zero pattern of the weight matrix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cluster_lnmarginal_pallas", "trapezoid_weights"]
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def trapezoid_weights(eeps, mask):
+    """(Neep, Neep) weights W such that for any per-star plane L,
+
+        integrate_over_eeps(where(mask, lnL, -inf), eeps)
+          == sum_{j,k} exp(lnL[j,k]) * W[j,k]
+
+    exactly (same floating-point class of operations; see
+    ``ops/cluster.py::integrate_over_eeps`` for the pairwise form this
+    re-expresses). ``mask`` is the combined validity x lower-triangle x
+    q-floor mask — masked entries get zero weight.
+    """
+    n = eeps.shape[0]
+    de = eeps[1:] - eeps[:-1]  # (n-1,)
+    zero = jnp.zeros((1,), dtype=eeps.dtype)
+    de_km1 = jnp.concatenate([zero, de])  # de[k-1], with de[-1] = 0
+    de_k = jnp.concatenate([de, zero])  # de[k],   with de[n-1] = 0
+    j = jnp.arange(n)[:, None]
+    k = jnp.arange(n)[None, :]
+    # inner trapz over k restricted to k+1 <= j (pairwise identity)
+    w_inner = 0.5 * (de_k[None, :] * (k + 1 <= j) + de_km1[None, :] * (k <= j))
+    # outer trapz over the full j range
+    w_outer = 0.5 * (de_km1 + de_k)  # (n,)
+    return jnp.where(mask, w_outer[:, None] * w_inner, 0.0)
+
+
+def _cluster_kernel(n_bands, n_stars_tile, fluxj_ref, fluxk_ref, magsj_ref,
+                    lnq_ref, w2_ref, lnjrow_ref, magv_ref, magu_ref, lnfb_ref,
+                    out_ref):
+    """One (star-tile, j-tile) program: photometric mixture over bands +
+    priors + weighted sum-of-exp per star, accumulated into out_ref[t, 0].
+
+    Bands are the outer static loop so the star-independent binary
+    magnitude ``-2.5 log10(f1 + f2)`` (the most expensive transcendental)
+    is computed once and reused across the ``n_stars_tile`` stars."""
+    jb = pl.program_id(1)
+
+    ln_fb = lnfb_ref[0, 0]
+    ln_1mfb = lnfb_ref[0, 1]
+
+    accs = [jnp.zeros(lnq_ref.shape, dtype=lnq_ref.dtype)
+            for _ in range(n_stars_tile)]
+    for b in range(n_bands):  # static band loop
+        f1 = fluxj_ref[b, :][:, None]  # (TJ, 1) primary flux
+        f2 = fluxk_ref[b, :][None, :]  # (1, Ep) secondary flux
+        mag_bin = -2.5 * jnp.log10(f1 + f2)  # (TJ, Ep), star-independent
+        mags_j = magsj_ref[b, :][:, None]  # (TJ, 1) single = primary only
+        for t in range(n_stars_tile):
+            mv = magv_ref[t, b]
+            inv = 1.0 / (magu_ref[t, b] * magu_ref[t, b])
+            rb = mag_bin - mv
+            ln_binary = ln_fb - 0.5 * rb * rb * inv  # (TJ, Ep)
+            rs = mags_j - mv
+            ln_single = ln_1mfb - 0.5 * rs * rs * inv
+            accs[t] = accs[t] + jnp.logaddexp(ln_binary, ln_single)
+
+    @pl.when(jb == 0)
+    def _():
+        for t in range(n_stars_tile):
+            out_ref[t, 0] = jnp.zeros((), dtype=out_ref.dtype)
+
+    # + q prior (j,k) + [mass prior + dm/deep + property lnlike - shift](j)
+    for t in range(n_stars_tile):
+        a = accs[t] + lnq_ref[:] + lnjrow_ref[t, :][:, None]
+        out_ref[t, 0] += jnp.sum(jnp.exp(a) * w2_ref[:])
+
+
+@partial(jax.jit, static_argnames=("interpret", "tile_j"))
+def cluster_lnmarginal_pallas(
+    lnlike_prop,  # (S, E) per-star property lnlike (may contain -inf/nan)
+    model_mags,  # (E, B) model magnitudes along the EEP ladder
+    masses,  # (E,) primary masses (sanitized: 1.0 where invalid)
+    ln_dm_deeps,  # (E,) ln|dm/deep| (sanitized: 0.0 where invalid)
+    eeps,  # (E,) EEP ladder values
+    mag_values,  # (S, B) observed magnitudes
+    mag_uncs,  # (S, B) magnitude uncertainties
+    alpha,
+    gamma,
+    fB,
+    mass_lo,
+    mass_hi,
+    q_lo,
+    valid,  # (E,) bool — rows with finite model values
+    *,
+    interpret=False,
+    tile_j=128,
+):
+    """Per-star ln marginal likelihood (S,) — ``log`` of what
+    ``integrate_over_eeps(calc_lnlike_grid(...), eeps)`` returns, computed
+    by one fused pallas kernel (reference cluster.py:365-378 +
+    cluster_utils.py:9-128). Returns -inf where the marginal is zero.
+    """
+    dt = model_mags.dtype
+    S, B = mag_values.shape
+    E = model_mags.shape[0]
+
+    safe_mags = jnp.where(valid[:, None], model_mags, jnp.zeros_like(model_mags))
+    flux = 10.0 ** (-0.4 * safe_mags)  # (E, B)
+
+    a1 = alpha + 1.0
+    c_mass = a1 / (mass_hi ** a1 - mass_lo ** a1)
+    lnmass = jnp.log(c_mass) + alpha * jnp.log(masses) + ln_dm_deeps  # (E,)
+    q = masses[None, :] / masses[:, None]  # (E_j, E_k) = m_k / m_j
+    g1 = gamma + 1.0
+    c_q = g1 / (1.0 - q_lo ** g1)
+    lnq = jnp.log(c_q) + gamma * jnp.log(q)  # (E, E)
+
+    tri = jnp.tril(jnp.ones((E, E), dtype=bool))
+    mask = (q >= q_lo) & tri & valid[:, None] & valid[None, :]
+    w2 = trapezoid_weights(eeps, mask).astype(dt)
+    lnq = jnp.where(mask, lnq, 0.0)  # masked entries have w2 == 0
+
+    lnprop = jnp.nan_to_num(lnlike_prop, nan=-1e30, neginf=-1e30)
+
+    # per-star shift: coarse max of the log-integrand on a stride-4
+    # subsample of the (j, k) plane (~1/16 of the full transcendental
+    # cost). An underestimate only costs f32 headroom we have (~80 nats);
+    # the XLA path uses no shift at all.
+    st = 4
+    js = jnp.arange(0, E, st)
+    fsub = flux[js]  # (Es, B)
+    msub = safe_mags[js]
+    ln_fb = jnp.log(fB)
+    ln_1mfb = jnp.log1p(-fB)
+
+    def band_max(b, acc):
+        mag_bin = -2.5 * jnp.log10(fsub[:, b][:, None] + fsub[:, b][None, :])
+        mv = mag_values[:, b][:, None, None]
+        iv = 1.0 / (mag_uncs[:, b][:, None, None] ** 2)
+        rb = mag_bin[None] - mv
+        rs = msub[:, b][None, :, None] - mv
+        return acc + jnp.logaddexp(
+            ln_fb - 0.5 * rb * rb * iv, ln_1mfb - 0.5 * rs * rs * iv
+        )
+
+    sub0 = jnp.zeros((S, js.shape[0], js.shape[0]), dtype=dt)
+    phot_sub = jax.lax.fori_loop(0, B, band_max, sub0)
+    a_sub = (
+        phot_sub
+        + lnq[js][:, js][None]
+        + (lnmass[js] + 0.0)[None, :, None]
+        + lnprop[:, js][:, :, None]
+    )
+    a_sub = jnp.where(mask[js][:, js][None], a_sub, -jnp.inf)
+    shift = jnp.max(a_sub, axis=(1, 2))  # (S,)
+    # a coarse max below -1e20 means the star has no support anywhere
+    # (all-masked, or lnprop == -inf/-1e30 everywhere): marginal is zero
+    dead = ~jnp.isfinite(shift) | (shift < -1e20)
+    shift = jnp.where(dead, 0.0, shift)
+
+    # fold everything j-indexed (and the shift) into one (S, E) row term
+    lnjrow = lnprop + lnmass[None, :] - shift[:, None]  # (S, E)
+
+    # ---- pad to TPU tiles: k (lane) to 128, j (sublane blocks) to tile_j,
+    # stars to tiles of TS (padded stars carry -1e30 rows -> zero weight)
+    TJ = int(tile_j)
+    TS = 8
+    Ep = _round_up(E, 128)
+    Ejp = _round_up(E, TJ)
+    Sp = _round_up(S, TS)
+    pj = Ejp - E
+    pk = Ep - E
+    ps = Sp - S
+    # padded j rows / k cols carry zero weight; keep their values finite
+    fluxT = jnp.pad(flux.T, ((0, 0), (0, max(pj, pk))), constant_values=1.0)
+    fluxj = fluxT[:, :Ejp]  # (B, Ejp) — j-blocked view
+    fluxk = fluxT[:, :Ep]  # (B, Ep)  — full-k view
+    magsj = jnp.pad(safe_mags.T, ((0, 0), (0, pj)))  # (B, Ejp)
+    lnq_p = jnp.pad(lnq, ((0, pj), (0, pk)))
+    w2_p = jnp.pad(w2, ((0, pj), (0, pk)))
+    lnjrow_p = jnp.pad(lnjrow, ((0, ps), (0, pj)), constant_values=-1e30)
+    magv_p = jnp.pad(mag_values.astype(dt), ((0, ps), (0, 0)))
+    magu_p = jnp.pad(mag_uncs.astype(dt), ((0, ps), (0, 0)), constant_values=1.0)
+    params = jnp.stack([ln_fb, ln_1mfb]).astype(dt)[None, :]  # (1, 2)
+
+    njb = Ejp // TJ
+    grid = (Sp // TS, njb)
+    out = pl.pallas_call(
+        partial(_cluster_kernel, B, TS),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, TJ), lambda sb, jb: (0, jb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Ep), lambda sb, jb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, TJ), lambda sb, jb: (0, jb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, Ep), lambda sb, jb: (jb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, Ep), lambda sb, jb: (jb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TS, TJ), lambda sb, jb: (sb, jb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TS, B), lambda sb, jb: (sb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TS, B), lambda sb, jb: (sb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda sb, jb: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TS, 1), lambda sb, jb: (sb, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((Sp, 1), dt),
+        interpret=interpret,
+    )(fluxj, fluxk, magsj, lnq_p, w2_p, lnjrow_p, magv_p, magu_p, params)
+
+    return jnp.where(dead, -jnp.inf, jnp.log(out[:S, 0]) + shift)
