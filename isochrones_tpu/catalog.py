@@ -81,6 +81,37 @@ class StarCatalog:
             yield p, self.get_measurement(p, **kwargs)
 
     # ------------------------------------------------------------------ plots
+    @property
+    def ds(self):
+        """Holoviews dataset of magnitudes + colors (reference
+        catalog.py:91-104). Requires the optional ``holoviews`` dependency,
+        exactly as the reference does; :meth:`hr_plot` is the
+        matplotlib-only equivalent."""
+        import holoviews as hv  # optional dep, same as reference
+
+        if getattr(self, "_ds", None) is None:
+            df = self.df.copy()
+            for b1, b2 in band_pairs(self.bands):
+                df[b2] = self.df[f"{b2}_mag"]
+                df[f"{b1}-{b2}"] = self.df[f"{b1}_mag"] - self.df[f"{b2}_mag"]
+            self._ds = hv.Dataset(df)
+        return self._ds
+
+    @property
+    def hr(self):
+        """Holoviews CMD layout (reference catalog.py:106-115); see
+        :meth:`hr_plot` for the matplotlib equivalent."""
+        import holoviews as hv
+
+        if getattr(self, "_hr", None) is None:
+            layout = []
+            opts = dict(invert_yaxis=True, tools=["hover"])
+            for b1, b2 in band_pairs(self.bands):
+                kdims = [f"{b1}-{b2}", f"{b1}_mag"]
+                layout.append(hv.Points(self.ds, kdims=kdims, vdims=self.ds.kdims).options(**opts))
+            self._hr = hv.Layout(layout)
+        return self._hr
+
     def hr_plot(self, ax=None):
         """Color-magnitude diagram(s) (reference ``hr`` via holoviews,
         catalog.py:91-115)."""

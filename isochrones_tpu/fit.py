@@ -18,7 +18,40 @@ import numpy as np
 from .logger import getLogger
 from .samplers.ensemble import autocorr_time, run_ensemble
 
-__all__ = ["fit_mcmc_convergent", "write_samples", "McmcBackend"]
+__all__ = [
+    "fit_mcmc_convergent",
+    "fit_emcee3",
+    "write_samples",
+    "McmcBackend",
+    "Emcee3Model",
+    "Emcee3PriorModel",
+]
+
+
+class Emcee3Model:
+    """Reference-compat wrapper splitting a star model's posterior into
+    prior and likelihood callables (reference fit.py:9-20; the emcee3
+    Model/state protocol collapses to plain functions here — the on-device
+    sampler consumes batched lnpost directly)."""
+
+    def __init__(self, mod):
+        self.mod = mod
+
+    def compute_log_prior(self, coords):
+        return self.mod.lnprior(coords)
+
+    def compute_log_likelihood(self, coords):
+        return self.mod.lnlike(coords)
+
+    def __call__(self, coords):
+        return self.compute_log_prior(coords) + self.compute_log_likelihood(coords)
+
+
+class Emcee3PriorModel(Emcee3Model):
+    """Prior-only variant (reference fit.py:23-34)."""
+
+    def compute_log_likelihood(self, coords):
+        return 0.0
 
 
 class McmcBackend:
@@ -170,3 +203,12 @@ def fit_mcmc_convergent(
     mod._samples = df
     mod._derived_samples = None
     return df
+
+
+def fit_emcee3(mod, mixedmoves=True, pool=None, **kwargs):
+    """Reference-named alias for :func:`fit_mcmc_convergent` (reference
+    fit.py:47-170). ``mixedmoves`` maps onto the ``moves`` mixture;
+    ``pool`` is accepted and ignored (parallelism is on-device batching,
+    not process pools)."""
+    kwargs.setdefault("moves", "mixed" if mixedmoves else "stretch")
+    return fit_mcmc_convergent(mod, **kwargs)

@@ -88,6 +88,26 @@ class Grid:
     def get_cache_filename(self, orig=False):
         raise NotImplementedError
 
+    # Reference-named cache aliases (grid.py:67-118): the cache format here
+    # is parquet, not pytables HDF (pytables is unavailable), so the "hdf"
+    # names map onto the parquet cache.
+    def get_hdf_filename(self, **kwargs):
+        """reference grid.py:67-68"""
+        return self.get_cache_filename(**kwargs)
+
+    @property
+    def hdf_filename(self):
+        """reference grid.py:70-72"""
+        return self.get_hdf_filename()
+
+    def read_hdf(self, orig=False):
+        """reference grid.py:103-110"""
+        return self.read_cache(orig=orig)
+
+    def write_hdf(self, orig=False):
+        """reference grid.py:112-118"""
+        return self.write_cache(orig=orig)
+
     def read_cache(self, orig=False):
         """Read the parsed-table cache, rebuilding on any failure
         (reference read_hdf, grid.py:103-110)."""
@@ -153,6 +173,12 @@ class StellarModelGrid(Grid):
         "eep", "age", "feh", "mass", "initial_mass", "radius", "density",
         "logTeff", "Teff", "logg", "logL", "Mbol",
     )
+
+    def get_dm_deep(self, compute=False):
+        """d(initial_mass)/d(EEP) along isochrones (reference
+        models.py:126-153); concrete grids implement it — see
+        ``grids/mist.py::MISTIsochroneGrid.get_dm_deep``."""
+        raise NotImplementedError
 
     @property
     def prop_map(self):
@@ -274,6 +300,38 @@ class StellarModelGrid(Grid):
             np.savez(fn, age=age_arrays, dt_deep=dt_arrays, lengths=lengths)
         d = np.load(fn)
         return d["age"], d["dt_deep"], d["lengths"]
+
+    def _load_array_grids(self):
+        if getattr(self, "_age_grid", None) is None:
+            self._age_grid, self._dt_deep_grid, self._array_lengths = self.get_array_grids()
+
+    @property
+    def age_grid(self):
+        """reference models.py:211-220"""
+        self._load_array_grids()
+        return self._age_grid
+
+    @property
+    def dt_deep_grid(self):
+        """reference models.py:222-231"""
+        self._load_array_grids()
+        return self._dt_deep_grid
+
+    @property
+    def array_lengths(self):
+        """reference models.py:233-243"""
+        self._load_array_grids()
+        return self._array_lengths
+
+    @property
+    def interp_grid_orig_npz_filename(self):
+        """reference models.py:167-169"""
+        return os.path.join(self.datadir, f"full_grid_orig{self.kwarg_tag}.npz")
+
+    @property
+    def n_masses(self):
+        """reference models.py:244-250"""
+        return len(self.df.index.levels[1])
 
 
 class BolometricCorrectionGrid(Grid):

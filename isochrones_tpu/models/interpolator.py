@@ -299,6 +299,52 @@ class ModelGridInterpolator:
         ax = self._axis_names()
         return np.asarray(self.model.knots[ax.index("feh")])
 
+    @property
+    def ages(self):
+        """Age knots (isochrone grids only; reference models.py:313-319)."""
+        if self.eep_replaces != "mass":
+            raise AttributeError(
+                "Age is not a dimension of model grid type {}!".format(self.name)
+            )
+        ax = self._axis_names()
+        return np.asarray(self.model.knots[ax.index("age")])
+
+    @property
+    def masses(self):
+        """Mass knots (track grids only; reference models.py:321-327)."""
+        if self.eep_replaces != "age":
+            raise AttributeError("Mass is not a dimension of this model grid!")
+        ax = self._axis_names()
+        return np.asarray(self.model.knots[ax.index("mass")])
+
+    @property
+    def model_grid(self):
+        """The stellar-model grid (here the device-resident :class:`GridData`
+        rather than the reference's lazy pandas grid; reference
+        models.py:337-341)."""
+        return self.model
+
+    @property
+    def bc_grid(self):
+        """The bolometric-correction grid (reference models.py:343-347)."""
+        return self.bc
+
+    @property
+    def prop_map(self):
+        """Canonical property name -> grid column name, for the standard
+        properties present in this grid (reference models.py:43-54; our
+        columns already carry canonical names, so this is the identity over
+        available columns, with the grid axes included)."""
+        axes = set(self._axis_names())
+        cols = set(self.model.columns)
+        std = ("eep", "age", "feh", "mass", "initial_mass", "logTeff", "logg", "logL")
+        return {p: p for p in std if p in cols or p in axes}
+
+    @property
+    def column_map(self):
+        """Inverse of :attr:`prop_map` (reference models.py:56-58)."""
+        return {v: k for k, v in self.prop_map.items()}
+
     # -------------------------------------------------------------- core jit fns
     # Grids are passed as pytree ARGUMENTS, never closure-captured: a captured
     # device array becomes an embedded constant in the compiled program — the

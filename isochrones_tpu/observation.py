@@ -161,12 +161,28 @@ class Node:
                     out.append(l)
         return out
 
+    @property
+    def obs_leaf_nodes(self):
+        """reference observation.py:263-265"""
+        return self.get_obs_leaves()
+
     def get_model_nodes(self):
         return [n for n in self._get_leaves() if isinstance(n, ModelNode)]
 
     @property
     def N_model_nodes(self):
         return len(self.get_model_nodes())
+
+    def attach_to_parent(self, node):
+        """Detach from the current parent and attach to ``node``
+        (reference observation.py:210-215)."""
+        if self.parent is not None:
+            self.parent.remove_child(self.label)
+        node.add_child(self)
+
+    def print_tree(self):
+        """reference observation.py:288-289"""
+        print(self.label)
 
     # ------------------------------------------------------- ascii rendering
     def _render_lines(self, prefix="", is_last=True):
@@ -234,6 +250,17 @@ class ObsNode(Node):
     @property
     def pa(self):
         return self.source.pa
+
+    @property
+    def value_str(self):
+        """reference observation.py:353-355"""
+        return "({:.2f}, {:.2f})".format(*self.value)
+
+    @property
+    def inds(self):
+        """Leaf model-node indices under this node (reference
+        observation.py:398-407)."""
+        return [n.index for n in self.get_model_nodes()]
 
     def distance(self, other):
         return distance((self.separation, self.pa), (other.separation, other.pa))
@@ -365,6 +392,11 @@ class ModelNode(Node):
         if prop in ("Teff", "logg", "feh", "radius", "density"):
             return float(np.squeeze(self.ic.interp_value(list(p[:3]), [prop])))
         raise ValueError(f"property {prop} cannot be evaluated")
+
+    def evaluate_mag(self, p, band):
+        """reference observation.py:575-576"""
+        _, _, _, mags = self.ic.interp_mag(list(p), [band])
+        return float(np.squeeze(mags))
 
     def lnlike(self, *args, **kwargs):
         return 0
@@ -521,6 +553,34 @@ class ObservationTree(Node):
                               relative=bool(g["relative"].any()))
             tree.add_observation(obs)
         return tree
+
+    @classmethod
+    def from_ini(cls, filename):
+        """Build a tree from a ``star.ini`` file's photometry sections (the
+        reference's method is an unfinished one-line stub,
+        observation.py:792-794; this implements the evident intent by
+        delegating to the same ini machinery
+        :meth:`isochrones_tpu.treemodel.StarModel.from_ini` uses)."""
+        import pandas as pd
+
+        from .iniparse import parse_ini
+        from .treemodel import ini_photometry_rows
+
+        rows = ini_photometry_rows(parse_ini(filename))
+        if not rows:
+            raise ValueError(f"No photometry sections found in {filename}")
+        return cls.from_df(pd.DataFrame(rows))
+
+    def trim(self):
+        """Trim unobserved leaves below the highest-resolution level.
+        The reference's implementation is disabled (an unconditional early
+        ``return``, observation.py:1100-1109); matched as a no-op."""
+        return
+
+    @classmethod
+    def synthetic(cls, stars, surveys):
+        """reference observation.py:1305-1306 (a stub there too)."""
+        pass
 
     def to_df(self):
         """Round-trippable photometry table (reference observation.py:795-832)."""

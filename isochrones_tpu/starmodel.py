@@ -866,7 +866,76 @@ class BasicStarModel:
             chisq += (val - self.derived_samples[col]) ** 2 / unc ** 2
         return chisq.mean() / (len(self.bands) + len(self.props))
 
+    # --------------------------------------------------- reference-compat API
+    def prior_transform(self, cube):
+        """Single-point unit-cube transform (reference starmodel.py:615-628;
+        the batched variant is :meth:`prior_transform_batch`)."""
+        out = self.prior_transform_batch(jnp.asarray(np.atleast_1d(np.asarray(cube, dtype=float))))
+        return np.asarray(out)
+
+    def prior(self, prop, val, **kwargs):
+        """Evaluate the prior pdf for ``prop`` (reference starmodel.py:634)."""
+        return self._priors[prop](val, **kwargs)
+
+    def lnpost_polychord(self, theta):
+        """PolyChord-convention likelihood: ``(lnpost, phi)`` (reference
+        starmodel.py:703-706; derived parameters unused)."""
+        return float(self.lnpost(theta)), []
+
+    @property
+    def mnest_analyzer(self):
+        """The nested-sampling result (the reference returns a
+        ``pymultinest.Analyzer`` here, starmodel.py:805-811; the on-device
+        sampler's :class:`~isochrones_tpu.samplers.nested.NestedResult`
+        carries the same evidence/posterior content)."""
+        if getattr(self, "_nested_result", None) is None:
+            raise ValueError("Must run fit_multinest first.")
+        return self._nested_result
+
+    @property
+    def sampler(self):
+        """Last ensemble-MCMC sampler state (reference starmodel.py:974-981)."""
+        if getattr(self, "_sampler_state", None) is not None:
+            return self._sampler_state
+        raise AttributeError("MCMC must be run to access sampler")
+
+    def fit_mcmc_old(self, **kwargs):
+        """Deprecated alias for :meth:`fit_mcmc` (reference
+        starmodel.py:889-973)."""
+        getLogger().warning("fit_mcmc_old is deprecated; use fit_mcmc.")
+        return self.fit_mcmc(**kwargs)
+
     # ------------------------------------------------------------------- plots
+    def corner(self, params, query=None, **kwargs):
+        """Corner plot over arbitrary posterior/derived columns (reference
+        starmodel.py:1075-1101)."""
+        from .plotting import corner as _corner
+
+        df = self.derived_samples if all(
+            p in self.derived_samples.columns for p in params
+        ) else self.samples
+        if query is not None:
+            df = df.query(query)
+        fig = _corner(df[list(params)], labels=list(params), **kwargs)
+        fig.suptitle(self.name, fontsize=22)
+        return fig
+
+    def triangle(self, *args, **kwargs):
+        """reference starmodel.py:1072"""
+        return self.corner(*args, **kwargs)
+
+    def triangle_physical(self, *args, **kwargs):
+        """reference starmodel.py:1103"""
+        return self.corner_physical(*args, **kwargs)
+
+    def triangle_plots(self, *args, **kwargs):
+        """reference starmodel.py:1112"""
+        return self.corner_plots(*args, **kwargs)
+
+    def mag_plot(self, *args, **kwargs):
+        """reference starmodel.py:1128-1129 (a stub there too)."""
+        pass
+
     def corner_params(self, **kwargs):
         from .plotting import corner as _corner
 

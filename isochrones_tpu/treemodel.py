@@ -33,7 +33,74 @@ from .priors import (
 from .starmodel import BasicStarModel, N_options, index_options
 from .utils import addmags
 
-__all__ = ["StarModel", "StarModelGroup"]
+__all__ = ["StarModel", "StarModelGroup", "ini_photometry_rows"]
+
+
+def ini_photometry_rows(c, scalars_out=None):
+    """Parsed star.ini mapping -> photometry rows for
+    :meth:`ObservationTree.from_df` (the section conventions of reference
+    starmodel.py:248-436: one section per instrument; ``resolution`` implies
+    companions with relative photometry unless ``relative`` is explicit;
+    companion tags ``K_1``/``separation_1``/...). Non-section scalars are
+    copied into ``scalars_out`` when given."""
+    from .iniparse import IniSection, parse_value
+
+    rows = []
+    for k, v in c.items():
+        if not isinstance(v, IniSection):
+            if scalars_out is not None:
+                scalars_out[k] = parse_value(v)
+            continue
+        instrument = k
+        sec = v
+        if "resolution" in sec:
+            resolution = float(parse_value(sec["resolution"]))
+            relative = True
+        else:
+            resolution = 4.0
+            relative = False
+        if "relative" in sec:
+            relative = str(sec["relative"]) == "True"
+
+        tags = []
+        sec_bands = []
+        for label in sec:
+            m = re.search(r"separation(_\w+)?", label)
+            if m:
+                if m.group(1) is not None and m.group(1) not in tags:
+                    tags.append(m.group(1))
+            elif re.search(r"PA", label) or re.search(r"id", label) or label in ("resolution", "relative"):
+                continue
+            else:
+                m = re.search(r"([a-zA-Z0-9]+)(_\w+)?", label)
+                if m and m.group(1) not in sec_bands:
+                    sec_bands.append(m.group(1))
+        if sec_bands and (not tags or sec_bands[0] in sec):
+            tags.append("")
+
+        for b in sec_bands:
+            for tag in tags:
+                key = f"{b}{tag}"
+                if key not in sec:
+                    continue
+                mag, e_mag = parse_value(sec[key])
+                if np.isnan(mag) or np.isnan(e_mag):
+                    continue
+                sep_key = f"separation{tag}"
+                rows.append(
+                    dict(
+                        name=instrument, band=b, resolution=resolution, relative=relative,
+                        separation=float(parse_value(sec[sep_key])) if sep_key in sec else 0.0,
+                        pa=float(parse_value(sec[f"PA{tag}"])) if f"PA{tag}" in sec else 0.0,
+                        mag=float(mag), e_mag=float(e_mag),
+                    )
+                )
+            if relative:
+                rows.append(
+                    dict(name=instrument, band=b, resolution=resolution, relative=relative,
+                         separation=0.0, pa=0.0, mag=0.0, e_mag=0.01)
+                )
+    return rows
 
 
 class StarModel(BasicStarModel):
@@ -209,61 +276,8 @@ class StarModel(BasicStarModel):
             ic = get_ichrone(ic, bands)
 
         c = parse_ini(ini_file)
-        rows = []
         obs = None
-        for k, v in c.items():
-            if not isinstance(v, IniSection):
-                kwargs[k] = parse_value(v)
-                continue
-            instrument = k
-            sec = v
-            if "resolution" in sec:
-                resolution = float(parse_value(sec["resolution"]))
-                relative = True
-            else:
-                resolution = 4.0
-                relative = False
-            if "relative" in sec:
-                relative = str(sec["relative"]) == "True"
-
-            tags = []
-            sec_bands = []
-            for label in sec:
-                m = re.search(r"separation(_\w+)?", label)
-                if m:
-                    if m.group(1) is not None and m.group(1) not in tags:
-                        tags.append(m.group(1))
-                elif re.search(r"PA", label) or re.search(r"id", label) or label in ("resolution", "relative"):
-                    continue
-                else:
-                    m = re.search(r"([a-zA-Z0-9]+)(_\w+)?", label)
-                    if m and m.group(1) not in sec_bands:
-                        sec_bands.append(m.group(1))
-            if sec_bands and (not tags or sec_bands[0] in sec):
-                tags.append("")
-
-            for b in sec_bands:
-                for tag in tags:
-                    key = f"{b}{tag}"
-                    if key not in sec:
-                        continue
-                    mag, e_mag = parse_value(sec[key])
-                    if np.isnan(mag) or np.isnan(e_mag):
-                        continue
-                    sep_key = f"separation{tag}"
-                    rows.append(
-                        dict(
-                            name=instrument, band=b, resolution=resolution, relative=relative,
-                            separation=float(parse_value(sec[sep_key])) if sep_key in sec else 0.0,
-                            pa=float(parse_value(sec[f"PA{tag}"])) if f"PA{tag}" in sec else 0.0,
-                            mag=float(mag), e_mag=float(e_mag),
-                        )
-                    )
-                if relative:
-                    rows.append(
-                        dict(name=instrument, band=b, resolution=resolution, relative=relative,
-                             separation=0.0, pa=0.0, mag=0.0, e_mag=0.01)
-                    )
+        rows = ini_photometry_rows(c, scalars_out=kwargs)
         if rows:
             obs = ObservationTree.from_df(pd.DataFrame(rows))
         if "obsfile" in c:
