@@ -392,21 +392,10 @@ class Bench:
         }
 
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache (same dir the test suite uses): cold
-    TPU compiles via the tunnel take minutes; warm reruns are seconds."""
-    import os
-
-    import jax
-
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-
 def main():
-    _enable_compile_cache()
+    from isochrones_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
     b = Bench()
     b.run("binary-star fused lnpost throughput", b.bench_binary_lnpost)
     b.run("3-d grid interpolation", b.bench_interp_3d)

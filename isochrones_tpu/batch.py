@@ -312,6 +312,9 @@ class BatchStarFitter:
         dead_u_chunks = []
         n_dead_total = 0
         done = np.zeros(S, dtype=bool)
+        from .samplers.nested import _RunningEvidence
+
+        running = _RunningEvidence(n_live, shape=(S,))
         while n_dead_total < hard_cap:
             n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
             du, dl, live_u, live_lnl, keys, scales = batch_core(
@@ -321,14 +324,16 @@ class BatchStarFitter:
             dead_lnl_chunks.append(np.asarray(dl))
             n_dead_total += n_steps * n_batch
 
-            all_dl = np.concatenate(dead_lnl_chunks, axis=1)
+            # incremental dead-only evidence + ESS (see _RunningEvidence:
+            # O(chunk) per check, and the dlogz ratio uses the dead-only
+            # evidence rather than double-counting the live bound)
+            running.add(dead_lnl_chunks[-1])
             live_now = np.asarray(live_lnl)
             ln_x_last = -n_dead_total / n_live
-            for s in np.where(~done)[0]:
-                _, _, _, logz_dead, _, ess_now = _assemble_weights(all_dl[s], live_now[s], n_live)
-                logz_remain = float(np.max(live_now[s])) + ln_x_last
-                dlogz_met = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain)) < dlogz
-                done[s] = bool(dlogz_met and ess_now >= min_ess)
+            logz_dead, ess_now = running.status(live_now)
+            logz_remain = np.max(live_now, axis=1) + ln_x_last
+            frac = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain))
+            done = (frac < dlogz) & (ess_now >= min_ess)
             if done.all():
                 break
 

@@ -32,7 +32,11 @@ class StarCatalog:
         to use photometry only.
     """
 
-    KNOWN_PROPS = ("Teff", "logg", "feh", "parallax", "density", "AV")
+    # auto-detectable measured properties: grid-derivable spectroscopy +
+    # parallax. AV is deliberately absent — it is a sampled model parameter
+    # here, not an observable, and the cluster likelihood has no grid
+    # column for it.
+    KNOWN_PROPS = ("Teff", "logg", "feh", "parallax", "density")
 
     def __init__(self, df, bands=None, props=None, no_uncs=False):
         self._df = df
@@ -46,6 +50,13 @@ class StarCatalog:
                 p for p in self.KNOWN_PROPS
                 if p in df.columns and f"{p}_unc" in df.columns
             )
+            if props:
+                from .logger import getLogger
+
+                getLogger().info(
+                    "StarCatalog: auto-detected measured props %s (pass "
+                    "props=() for photometry-only)", props,
+                )
         self.props = tuple(props)
 
         if not no_uncs:

@@ -65,9 +65,11 @@ def searchsorted(arr, x, N=-1):
 
 
 def _find_indices_nd(xs, iis):
+    # zero-initialized like the reference's variants, so out-of-bounds
+    # dimensions report (0, 0.0) rather than uninitialized memory
     ndim = len(xs)
-    indices = np.empty(ndim, dtype=np.uint32)
-    norm = np.empty(ndim, dtype=np.float64)
+    indices = np.zeros(ndim, dtype=np.uint32)
+    norm = np.zeros(ndim, dtype=np.float64)
     oob = False
     for i, (x, ii) in enumerate(zip(xs, iis)):
         ii = np.asarray(ii, dtype=float)

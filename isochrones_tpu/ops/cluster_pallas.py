@@ -20,13 +20,16 @@ round-trips per posterior evaluation. Here each (star, j-tile) program:
 
 HBM traffic drops from O(S*E^2*B) to O(E^2) per evaluation; the kernel
 is VPU-bound (transcendentals), which is the speed-of-light regime for
-this op. Numerics: a per-star shift (coarse subsampled max of the
-log-integrand, computed outside) keeps ``exp`` in f32 range — strictly
-better than the XLA path's unshifted ``exp``.
+this op. Numerics: the integral accumulates as a STREAMING weighted
+log-sum-exp (per-star running max + rescaled sum across tiles), so the
+result is exact up to rounding at any magnitude — strictly better than
+the XLA path's raw ``exp``, which underflows whole marginals to zero
+below ~-745 (f64) / ~-88 (f32).
 
-Semantics deviations: none beyond the shift (mathematically identity);
-the reference's lower-triangle/q-floor/validity masking is folded into
-the zero pattern of the weight matrix.
+Semantics deviations: only that underflow behavior (the pallas path can
+return a finite tiny ln-marginal where the grid path returns -inf); the
+reference's lower-triangle/q-floor/validity masking is folded into the
+zero pattern of the weight matrix.
 """
 
 from __future__ import annotations
@@ -72,9 +75,13 @@ def trapezoid_weights(eeps, mask):
 
 def _cluster_kernel(n_bands, n_stars_tile, fluxj_ref, fluxk_ref, magsj_ref,
                     lnq_ref, w2_ref, lnjrow_ref, magv_ref, magu_ref, lnfb_ref,
-                    out_ref):
+                    m_ref, s_ref):
     """One (star-tile, j-tile) program: photometric mixture over bands +
-    priors + weighted sum-of-exp per star, accumulated into out_ref[t, 0].
+    priors, then a STREAMING log-sum-exp of the weighted integrand per star
+    — running max ``m_ref[t, 0]`` and rescaled sum ``s_ref[t, 0]`` in SMEM,
+    updated across j-tiles. Exact up to f32 rounding: no precomputed shift
+    estimate exists to under- or overshoot (masked cells are pinned to
+    -1e30 so they can neither win the max nor overflow the exp).
 
     Bands are the outer static loop so the star-independent binary
     magnitude ``-2.5 log10(f1 + f2)`` (the most expensive transcendental)
@@ -100,15 +107,28 @@ def _cluster_kernel(n_bands, n_stars_tile, fluxj_ref, fluxk_ref, magsj_ref,
             ln_single = ln_1mfb - 0.5 * rs * rs * inv
             accs[t] = accs[t] + jnp.logaddexp(ln_binary, ln_single)
 
+    neg_big = jnp.asarray(-1e30, dtype=lnq_ref.dtype)
+
     @pl.when(jb == 0)
     def _():
         for t in range(n_stars_tile):
-            out_ref[t, 0] = jnp.zeros((), dtype=out_ref.dtype)
+            m_ref[t, 0] = neg_big
+            s_ref[t, 0] = jnp.zeros((), dtype=s_ref.dtype)
 
-    # + q prior (j,k) + [mass prior + dm/deep + property lnlike - shift](j)
+    # + q prior (j,k) + [mass prior + dm/deep + property lnlike](j), then
+    # fold this tile into the per-star streaming logsumexp accumulators
     for t in range(n_stars_tile):
         a = accs[t] + lnq_ref[:] + lnjrow_ref[t, :][:, None]
-        out_ref[t, 0] += jnp.sum(jnp.exp(a) * w2_ref[:])
+        a = jnp.where(w2_ref[:] > 0, a, neg_big)
+        m_tile = jnp.max(a)
+        term = jnp.sum(jnp.exp(a - m_tile) * w2_ref[:])
+        m_old = m_ref[t, 0]
+        m_new = jnp.maximum(m_old, m_tile)
+        s_ref[t, 0] = (
+            s_ref[t, 0] * jnp.exp(m_old - m_new)
+            + term * jnp.exp(m_tile - m_new)
+        )
+        m_ref[t, 0] = m_new
 
 
 @partial(jax.jit, static_argnames=("interpret", "tile_j"))
@@ -134,7 +154,9 @@ def cluster_lnmarginal_pallas(
     """Per-star ln marginal likelihood (S,) — ``log`` of what
     ``integrate_over_eeps(calc_lnlike_grid(...), eeps)`` returns, computed
     by one fused pallas kernel (reference cluster.py:365-378 +
-    cluster_utils.py:9-128). Returns -inf where the marginal is zero.
+    cluster_utils.py:9-128) with streaming log-sum-exp accumulation.
+    Returns -inf where the marginal is zero; may return a finite tiny
+    value where the grid path's raw ``exp`` underflows to zero.
     """
     dt = model_mags.dtype
     S, B = mag_values.shape
@@ -157,45 +179,12 @@ def cluster_lnmarginal_pallas(
     lnq = jnp.where(mask, lnq, 0.0)  # masked entries have w2 == 0
 
     lnprop = jnp.nan_to_num(lnlike_prop, nan=-1e30, neginf=-1e30)
-
-    # per-star shift: coarse max of the log-integrand on a stride-4
-    # subsample of the (j, k) plane (~1/16 of the full transcendental
-    # cost). An underestimate only costs f32 headroom we have (~80 nats);
-    # the XLA path uses no shift at all.
-    st = 4
-    js = jnp.arange(0, E, st)
-    fsub = flux[js]  # (Es, B)
-    msub = safe_mags[js]
     ln_fb = jnp.log(fB)
     ln_1mfb = jnp.log1p(-fB)
 
-    def band_max(b, acc):
-        mag_bin = -2.5 * jnp.log10(fsub[:, b][:, None] + fsub[:, b][None, :])
-        mv = mag_values[:, b][:, None, None]
-        iv = 1.0 / (mag_uncs[:, b][:, None, None] ** 2)
-        rb = mag_bin[None] - mv
-        rs = msub[:, b][None, :, None] - mv
-        return acc + jnp.logaddexp(
-            ln_fb - 0.5 * rb * rb * iv, ln_1mfb - 0.5 * rs * rs * iv
-        )
-
-    sub0 = jnp.zeros((S, js.shape[0], js.shape[0]), dtype=dt)
-    phot_sub = jax.lax.fori_loop(0, B, band_max, sub0)
-    a_sub = (
-        phot_sub
-        + lnq[js][:, js][None]
-        + (lnmass[js] + 0.0)[None, :, None]
-        + lnprop[:, js][:, :, None]
-    )
-    a_sub = jnp.where(mask[js][:, js][None], a_sub, -jnp.inf)
-    shift = jnp.max(a_sub, axis=(1, 2))  # (S,)
-    # a coarse max below -1e20 means the star has no support anywhere
-    # (all-masked, or lnprop == -inf/-1e30 everywhere): marginal is zero
-    dead = ~jnp.isfinite(shift) | (shift < -1e20)
-    shift = jnp.where(dead, 0.0, shift)
-
-    # fold everything j-indexed (and the shift) into one (S, E) row term
-    lnjrow = lnprop + lnmass[None, :] - shift[:, None]  # (S, E)
+    # fold everything j-indexed into one (S, E) row term; normalization is
+    # handled by the kernel's streaming logsumexp (no shift estimate)
+    lnjrow = lnprop + lnmass[None, :]  # (S, E)
 
     # ---- pad to TPU tiles: k (lane) to 128, j (sublane blocks) to tile_j,
     # stars to tiles of TS (padded stars carry -1e30 rows -> zero weight)
@@ -235,10 +224,20 @@ def cluster_lnmarginal_pallas(
             pl.BlockSpec((TS, B), lambda sb, jb: (sb, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda sb, jb: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((TS, 1), lambda sb, jb: (sb, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((Sp, 1), dt),
+        out_specs=(
+            pl.BlockSpec((TS, 1), lambda sb, jb: (sb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TS, 1), lambda sb, jb: (sb, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Sp, 1), dt),
+            jax.ShapeDtypeStruct((Sp, 1), dt),
+        ),
         interpret=interpret,
     )(fluxj, fluxk, magsj, lnq_p, w2_p, lnjrow_p, magv_p, magu_p, params)
 
-    return jnp.where(dead, -jnp.inf, jnp.log(out[:S, 0]) + shift)
+    m_out, s_out = out
+    # log(S) + M; a star with no unmasked support has S == 0 -> -inf, and a
+    # star whose only support carries the -1e30 no-data sentinel lands at
+    # ~-1e30 -> also -inf (no physical ln-marginal approaches -1e20)
+    res = jnp.log(s_out[:S, 0]) + m_out[:S, 0]
+    return jnp.where(res > -1e20, res, -jnp.inf)

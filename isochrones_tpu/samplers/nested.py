@@ -77,17 +77,68 @@ def _assemble_weights(dead_lnl: np.ndarray, live_lnl: np.ndarray, n_live: int):
     return order, all_lnl, all_logwt, float(logz), probs, ess
 
 
-def _live_cholesky(live_u):
+class _RunningEvidence:
+    """Incremental dead-point evidence/ESS accumulator for termination
+    checks. Skilling weights are index-deterministic, so each chunk folds
+    in O(chunk) — re-running the full weight assembly every chunk was
+    O(n_dead^2) host work. ``logz_dead`` here is DEAD-ONLY: the dlogz test
+    must compare the live upper bound against the dead evidence; using the
+    live-inclusive total double-counts the live mass and loosens the
+    stopping rule by up to 2x. Supports a leading batch shape (runs/stars)
+    with the chunk on the trailing axis.
+    """
+
+    def __init__(self, n_live, shape=()):
+        self.n_live = n_live
+        self.n_dead = 0
+        self.log_s1 = np.full(shape, -np.inf)  # logsumexp of dead logwt
+        self.log_s2 = np.full(shape, -np.inf)  # logsumexp of 2*dead logwt
+
+    @staticmethod
+    def _lse(a):
+        m = np.max(a, axis=-1)
+        m_safe = np.where(np.isfinite(m), m, 0.0)
+        out = m_safe + np.log(np.sum(np.exp(a - m_safe[..., None]), axis=-1))
+        return np.where(np.isfinite(m), out, -np.inf)
+
+    def add(self, dead_lnl_chunk):
+        """Fold in a chunk of dead points (ordered; trailing axis)."""
+        k = dead_lnl_chunk.shape[-1]
+        idx = np.arange(self.n_dead, self.n_dead + k, dtype=float)
+        w = np.exp(-idx / self.n_live) - np.exp(-(idx + 1.0) / self.n_live)
+        logwt = np.log(np.maximum(w, 1e-300)) + dead_lnl_chunk
+        logwt = np.where(np.isfinite(logwt), logwt, -np.inf)
+        self.log_s1 = np.logaddexp(self.log_s1, self._lse(logwt))
+        self.log_s2 = np.logaddexp(self.log_s2, self._lse(2.0 * logwt))
+        self.n_dead += k
+
+    def status(self, live_lnl):
+        """(dead-only logz, posterior ESS incl. live points) — identical to
+        what the full ``_assemble_weights`` pass reports, in O(n_live)."""
+        x_final = np.exp(-self.n_dead / self.n_live)
+        logwt_live = np.log(x_final / self.n_live) + live_lnl
+        logwt_live = np.where(np.isfinite(logwt_live), logwt_live, -np.inf)
+        l1 = self._lse(logwt_live)
+        l2 = self._lse(2.0 * logwt_live)
+        s1 = np.logaddexp(self.log_s1, l1)
+        s2 = np.logaddexp(self.log_s2, l2)
+        with np.errstate(invalid="ignore"):
+            ess = np.where(np.isfinite(s1), np.exp(2.0 * s1 - s2), 0.0)
+        return self.log_s1, ess
+
+
+def _live_cholesky(live_u, jitter=1e-12):
     """Cholesky factor of the live-point covariance (+ jitter) — whitens walk
     proposals so correlated/ridge-shaped constrained regions (e.g. the
     EEP-age degeneracy) mix as fast as isotropic ones. Without this the
     isotropic walk leaves replacements correlated with their start points,
-    which biases the shrinkage schedule by O(1) nats on hard targets."""
+    which biases the shrinkage schedule by O(1) nats on hard targets.
+    (Also the slice-NS whitening in :mod:`.polychord`, with a larger jitter.)"""
     mu = jnp.mean(live_u, axis=0)
     c = live_u - mu
     cov = (c.T @ c) / live_u.shape[0]
     d = live_u.shape[-1]
-    cov = cov + 1e-12 * jnp.eye(d, dtype=live_u.dtype)
+    cov = cov + jitter * jnp.eye(d, dtype=live_u.dtype)
     return jnp.linalg.cholesky(cov)
 
 
@@ -281,6 +332,7 @@ def run_nested(
     dead_u_chunks, dead_lnl_chunks = [], []
     n_dead_total = 0
     core_fn = _nested_core if core is None else core
+    running = _RunningEvidence(n_live)
     while n_dead_total < hard_cap:
         n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
         du, dl, live_u_j, live_lnl_j, key, scale = core_fn(
@@ -294,10 +346,10 @@ def run_nested(
         # termination: (a) remaining evidence bound below dlogz AND
         # (b) posterior ESS at least min_ess (auto-extend past a technically
         # converged evidence if the weights are still too concentrated)
-        all_dl = np.concatenate(dead_lnl_chunks)
+        running.add(dead_lnl_chunks[-1])
         live_lnl_now = np.asarray(live_lnl_j)
         ln_x_last = -n_dead_total / n_live
-        _, _, _, logz_dead, _, ess_now = _assemble_weights(all_dl, live_lnl_now, n_live)
+        logz_dead, ess_now = running.status(live_lnl_now)
         lnl_live_max = float(np.max(live_lnl_now))
         logz_remain = lnl_live_max + ln_x_last  # upper bound on live mass
         dlogz_met = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain)) < dlogz
@@ -410,7 +462,8 @@ def _run_nested_multi(
     dead_u_chunks, dead_lnl_chunks = [], []
     n_dead_total = 0
     done = np.zeros(R, dtype=bool)
-    min_ess_run = min_ess / R  # combined posterior ESS sums across runs
+    min_ess_run = min_ess / R  # combined posterior ESS pools across runs
+    running = _RunningEvidence(n_live, shape=(R,))
     while n_dead_total < hard_cap:
         n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
         du, dl, live_u, live_lnl, keys, scales = vcore(
@@ -420,14 +473,13 @@ def _run_nested_multi(
         dead_lnl_chunks.append(np.asarray(dl))
         n_dead_total += n_steps * n_batch
 
-        all_dl = np.concatenate(dead_lnl_chunks, axis=1)
+        running.add(dead_lnl_chunks[-1])
         live_now = np.asarray(live_lnl)
         ln_x_last = -n_dead_total / n_live
-        for r in np.where(~done)[0]:
-            _, _, _, logz_dead, _, ess_now = _assemble_weights(all_dl[r], live_now[r], n_live)
-            logz_remain = float(np.max(live_now[r])) + ln_x_last
-            dlogz_met = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain)) < dlogz
-            done[r] = bool(dlogz_met and ess_now >= min_ess_run)
+        logz_dead, ess_now = running.status(live_now)  # (R,), (R,)
+        logz_remain = np.max(live_now, axis=1) + ln_x_last
+        frac = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain))
+        done = (frac < dlogz) & (ess_now >= min_ess_run)
         if done.all():
             break
 
@@ -478,7 +530,10 @@ def _run_nested_multi(
     posterior = np.concatenate(post_chunks, axis=0)
     logl_posterior = np.concatenate(post_lnl_chunks)
 
-    ess = float(ess_runs.sum())
+    # pooled ESS of the Z-weighted mixture: 1 / sum(z_w^2 / ess_r) — sums
+    # to R*ess for equal runs but collapses to the dominant run's ESS when
+    # one Z dominates (a plain sum would overstate it up to R-fold there)
+    ess = float(1.0 / np.sum(z_w ** 2 / np.maximum(ess_runs, 1e-12)))
     truncated = ess < min_ess
     if truncated:
         msg = (

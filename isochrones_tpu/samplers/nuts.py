@@ -357,6 +357,15 @@ def run_nuts(
 
         p = jnp.clip((x0 - lo) / span, 1e-9, 1.0 - 1e-9)
         x0 = jnp.log(p) - jnp.log1p(-p)
+        if inv_mass0 is not None:
+            # caller-supplied inv_mass0 is documented as PARAMETER-space
+            # posterior variances; sampling runs in logit coordinates, so
+            # rescale by the transform derivative dz/dy = span*s*(1-s) at
+            # the chain-start centroid (a boundary-hugging parameter's
+            # logit-space scale differs by orders of magnitude)
+            y_bar = jnp.mean(x0, axis=0)
+            dz_dy = span * jax.nn.sigmoid(y_bar) * jax.nn.sigmoid(-y_bar)
+            inv_mass0 = jnp.asarray(inv_mass0, dtype=x0.dtype) / (dz_dy * dz_dy)
     W = None  # dense-metric whitening transform (z = mu + W y)
     mu = None
     if ensemble_init and inv_mass0 is None:

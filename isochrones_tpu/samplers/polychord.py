@@ -37,13 +37,11 @@ _N_SHRINK = 8  # shrinkage rejections per slice move
 
 
 def _whitening(live_u):
-    """Cholesky factor of the live-point covariance (+ jitter)."""
-    mu = jnp.mean(live_u, axis=0)
-    c = live_u - mu
-    cov = (c.T @ c) / live_u.shape[0]
-    d = live_u.shape[-1]
-    cov = cov + 1e-10 * jnp.eye(d, dtype=live_u.dtype)
-    return jnp.linalg.cholesky(cov)
+    """Cholesky factor of the live-point covariance (shared helper; the
+    slice sampler wants a slightly larger jitter than the walk kernel)."""
+    from .nested import _live_cholesky
+
+    return _live_cholesky(live_u, jitter=1e-10)
 
 
 def _slice_move(lnlike_u, key, x0, lnl_star, L, w0):

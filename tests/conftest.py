@@ -22,9 +22,8 @@ jax.config.update("jax_enable_x64", True)
 # Persistent XLA compilation cache: the test suite is compile-dominated on
 # this 1-core host, and most programs are identical between runs. First run
 # populates the cache; subsequent runs skip recompilation.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from isochrones_tpu.config import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"

@@ -101,6 +101,49 @@ def test_pallas_parity_inf_lnprop_and_all_invalid_star():
     np.testing.assert_allclose(got[m], ref[m], rtol=1e-8)
 
 
+def test_pallas_narrow_valid_window():
+    """A narrow valid-EEP window (3 rows, straddling no stride-4 index)
+    must still be integrated exactly — the streaming-logsumexp kernel has
+    no subsampled shift estimate to miss it (regression: an earlier coarse
+    shift falsely marked such stars dead / truncated their peaks)."""
+    rng = np.random.default_rng(0)
+    E = 40
+    valid = np.zeros(E, dtype=bool)
+    valid[5:8] = True
+    valid_j = jnp.asarray(valid)
+    masses = jnp.asarray(np.sort(rng.uniform(0.3, 2.0, E)))
+    kw = dict(
+        lnlike_prop=jnp.asarray(rng.normal(-2, 1, (3, E))),
+        model_mags=jnp.where(valid_j[:, None], jnp.asarray(rng.normal(10, 2, (E, 3))), 0.0),
+        masses=jnp.where(valid_j, masses, 1.0),
+        ln_dm_deeps=jnp.where(valid_j, jnp.asarray(rng.normal(-3, 0.5, E)), 0.0),
+        eeps=jnp.asarray(np.sort(rng.uniform(200, 400, E))),
+        mag_values=jnp.asarray(rng.normal(10, 2, (3, 3))),
+        mag_uncs=jnp.asarray(rng.uniform(0.05, 0.2, (3, 3))),
+        alpha=-2.35, gamma=0.3, fB=0.4, mass_lo=0.3, mass_hi=2.0, q_lo=0.2,
+        valid=valid_j,
+    )
+    ref = _xla_ref(kw)
+    got = np.asarray(cluster_lnmarginal_pallas(**kw, interpret=True, tile_j=16))
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-8)
+    # where the unshifted grid path underflows whole marginals to zero the
+    # streaming kernel may legitimately resolve a tiny finite value
+    assert np.all(got[~m] < -300)
+
+
+def test_pallas_dead_star_minus_inf():
+    """All -inf property likelihoods -> exactly -inf (not the -1e30
+    sentinel), so the model layer counts the star as bad."""
+    kw = _fixture(3, S=4, E=40, B=3)
+    lnprop = np.array(kw["lnlike_prop"])
+    lnprop[1, :] = -np.inf
+    kw["lnlike_prop"] = jnp.asarray(lnprop)
+    got = np.asarray(cluster_lnmarginal_pallas(**kw, interpret=True, tile_j=16))
+    assert got[1] == -np.inf
+    assert np.isfinite(got[[0, 2, 3]]).all()
+
+
 def test_pallas_vmap_over_params():
     """vmap over parameter-dependent inputs (the chunked-walker batch
     path in cluster.py) matches sequential evaluation."""
