@@ -402,6 +402,12 @@ class BolometricCorrectionGrid(Grid):
         return self.parse_table(self.get_filename(phot, feh))
 
     def get_cache_filename(self, phot=None, orig=False):
+        """Per-system raw-table cache when ``phot`` is given; otherwise the
+        merged-table cache the inherited read/write_cache paths use (a bare
+        f-string on phot=None used to create a junk ``None.parquet``)."""
+        if phot is None:
+            tag = "_orig" if orig else ""
+            return os.path.join(self.datadir, f"bc_merged{tag}.parquet")
         return os.path.join(self.datadir, f"{phot}.parquet")
 
     def get_tarball_url(self, phot):
@@ -430,6 +436,8 @@ class BolometricCorrectionGrid(Grid):
             df = pd.read_parquet(cache)
             df_all = df if df_all is None else pd.concat([df_all, df], axis=1)
 
+        if orig:
+            return df_all  # merged, original column names
         df_all = df_all.rename(columns={v: k for k, v in self.band_map.items()})
         return df_all[[c for c in df_all.columns if c in self.bands]]
 

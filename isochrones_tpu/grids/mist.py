@@ -183,9 +183,11 @@ class MISTEvolutionTrackGrid(MISTModelGrid):
 
     default_kwargs = {"version": "1.2", "vvcrit": 0.4, "afe": 0.0}
     index_cols = ("initial_feh", "initial_mass", "EEP")
-    default_columns = tuple(set(MISTModelGrid.default_columns) - {"age"}) + (
-        "interpolated", "star_age", "age",
-    )
+    # order must be deterministic across processes (str hash randomization
+    # would scramble a set-difference, desyncing parquet/npz caches)
+    default_columns = tuple(
+        c for c in MISTModelGrid.default_columns if c != "age"
+    ) + ("interpolated", "star_age", "age")
     filename_pattern = r"\.track\.eep$"
     eep_replaces = "age"
 

@@ -665,8 +665,14 @@ class ObservationTree(Node):
         if N is not None:
             new.define_models(ic, N=N, index=index)
         new.spectroscopy = {l: {k: tuple(v) for k, v in d.items()} for l, d in spectroscopy.items()}
+        # non-finite endpoints serialize as None; restore POSITIONALLY
+        # (index 0 -> -inf lower, index 1 -> +inf upper)
+        _inf = (-np.inf, np.inf)
         new.limits = {
-            l: {k: tuple(-np.inf if x is None else x for x in v) for k, v in d.items()}
+            l: {
+                k: tuple(_inf[i] if x is None else x for i, x in enumerate(v))
+                for k, v in d.items()
+            }
             for l, d in limits.items()
         }
         new.parallax = {int(k): tuple(v) for k, v in parallax.items()}
@@ -1016,6 +1022,16 @@ def compile_plan(tree: ObservationTree, ic) -> TreePlan:
             obs_active[i] = 0.0
         if n.relative:
             if n.reference is None or n.reference is n:
+                obs_active[i] = 0.0
+            elif id(n.reference) not in node_row:
+                # orphaned reference (mixed per-source relative flags where
+                # the brightest source was non-relative, so its ref_node was
+                # never attached): the delta-mag has no anchor — deactivate
+                # rather than crash
+                getLogger().warning(
+                    "compile_plan: relative node %s has a reference outside "
+                    "the tree; deactivating it", n.label
+                )
                 obs_active[i] = 0.0
             else:
                 obs_ref[i] = node_row[id(n.reference)]

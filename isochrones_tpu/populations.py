@@ -144,6 +144,15 @@ class StarPopulation:
                     population.iloc[bad_idx] = new_pop.iloc[good_idx].values
                 bad = population["mass_0"].isnull().values
                 rounds += 1
+            if bad.any():
+                from .logger import getLogger
+
+                getLogger().warning(
+                    "StarPopulation.generate(exact_N=True): %d/%d rows still "
+                    "invalid (off-grid) after %d redraw rounds — the sampled "
+                    "parameter ranges barely intersect the grid; returned "
+                    "frame contains NaN rows.", int(bad.sum()), N, max_rounds,
+                )
         else:
             population = population.dropna(subset=["mass_0"])
 

@@ -311,7 +311,10 @@ class BasicStarModel:
                 prim = self._primary_pars(pars)
                 io = index_order
                 grid_pts = jnp.stack([prim[..., io[0]], prim[..., io[1]], prim[..., io[2]]], axis=-1)
-                vals = interp_nd(full_model.values, full_model.knots, grid_pts, icols=seismo_icols)
+                vals = interp_nd(
+                    full_model.values, full_model.knots, grid_pts,
+                    icols=seismo_icols, axis_maps=full_model.axis_maps,
+                )
                 nu_max, nu_max_unc = kw["nu_max"]
                 ll = ll + gauss_lnprob(nu_max, nu_max_unc, vals[..., 0])
                 if has_delnu:
@@ -1081,7 +1084,13 @@ class BasicStarModel:
                   eep_bounds=eep_bounds, N=N, use_emcee=use_emcee, **kwargs)
         mod._samples = samples
         mod._derived_samples = derived
-        mod._bounds.update({k: tuple(v) if v is not None else None for k, v in bounds.items()})
+        # restore through set_bounds so prior objects' .bounds stay in sync
+        # with the prior-transform box (a plain _bounds.update leaves e.g. a
+        # non-default maxAV rejected by lnprior after reload)
+        mod.set_bounds(**{k: tuple(v) for k, v in bounds.items() if v is not None})
+        for k, v in bounds.items():
+            if v is None:
+                mod._bounds[k] = None
         if evidence is not None:
             mod._evidence = tuple(evidence)
         return mod
@@ -1219,7 +1228,11 @@ class IsoTrackModel(BasicStarModel):
         if self._bounds[prop] is not None:
             return self._bounds[prop]
         if prop in ("mass", "feh", "age"):
-            lo, hi = self.track.get_limits(prop) if prop == "mass" else self.ic.get_limits(prop)
+            # mass is a track-grid axis; age/feh ranges must come from the
+            # ISO grid (on the track grid "age" is a data column, and its
+            # nanmin/nanmax is not the sampling box)
+            src = self.track if prop == "mass" else self.iso
+            lo, hi = src.get_limits(prop)
             self._bounds[prop] = (lo, hi)
             self._priors[prop].bounds = (lo, hi)
             return self._bounds[prop]

@@ -238,3 +238,20 @@ def test_add_limit(iso):
     m2 = StarModel(iso, Teff=(Teff, 100.0), J=(mags["J"], 0.02))
     m2.obs.add_limit(logg=(logg - 1.0, logg + 1.0))
     assert np.isfinite(m2.lnlike([60.0, 9.0, 0.0, 200.0, 0.1]))
+
+
+def test_limits_hdf_roundtrip_preserves_infinities(tmp_path, iso):
+    """Open-ended limits serialize as None; load must restore POSITIONALLY
+    (-inf lower, +inf upper). Regression: both endpoints were restored as
+    -inf, making every model fail the upper check after a round trip."""
+    Teff, logg, mags = _true_star(iso)
+    m = StarModel(iso, Teff=(Teff, 100.0), J=(mags["J"], 0.02))
+    m.obs.add_limit(logg=(logg - 1.0, None))  # satisfied: lower bound below model
+    p = [60.0, 9.0, 0.0, 200.0, 0.1]
+    assert np.isfinite(m.lnlike(p))
+    fn = str(tmp_path / "obs_limits.h5")
+    m.obs.save_hdf(fn)
+    t2 = ObservationTree.load_hdf(fn, ic=iso)
+    (lo, hi), = [v for d in t2.limits.values() for v in d.values()]
+    assert lo == pytest.approx(logg - 1.0)
+    assert hi == np.inf

@@ -242,3 +242,33 @@ def test_posterior_predictive(star1_model):
     pp = m.posterior_predictive
     assert np.isfinite(pp)
     assert pp < 10.0
+
+
+def test_isotrack_bounds_age_from_iso_grid(iso, track):
+    """IsoTrackModel age/feh bounds come from the ISO grid's axes, not the
+    track grid's age data column (regression: a dead conditional sampled
+    age from nanmin/nanmax of log10(star_age) ~ (0, 2))."""
+    m = IsoTrackModel(iso, track, Teff=(5800.0, 100.0))
+    lo, hi = m.bounds("age")
+    ilo, ihi = iso.get_limits("age")
+    assert (lo, hi) == (ilo, ihi)
+    assert hi > 5.0  # log10(age/yr) axis range, not a stellar-age column
+
+
+def test_load_hdf_syncs_prior_bounds(tmp_path, iso):
+    """Restored bounds must flow through set_bounds so prior objects agree
+    with the prior-transform box (regression: a non-default maxAV was
+    silently rejected by lnprior after reload)."""
+    t = _true_star(iso)
+    m = SingleStarModel(iso, Teff=(t["Teff"], 100.0), J=(t["mags"]["J"], 0.02), maxAV=3.0)
+    fn = str(tmp_path / "maxav.h5")
+    m.save_hdf(fn)
+    m2 = BasicStarModel.load_hdf(fn, ic=iso)
+    assert m2._bounds["AV"] == (0.0, 3.0)
+    assert tuple(m2._priors["AV"].bounds) == (0.0, 3.0)
+    # AV above the default maxAV=1 but inside the restored (0, 3) bound
+    # must survive the prior (other params at safe mid-quantiles)
+    u = jnp.asarray([[0.5, 0.5, 0.5, 0.3, 0.9]])
+    p = m2.prior_transform_batch(u)
+    assert float(p[0, -1]) == pytest.approx(2.7)
+    assert np.isfinite(m2.lnprior(np.asarray(p[0])))
