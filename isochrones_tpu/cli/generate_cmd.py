@@ -42,7 +42,7 @@ def main(argv=None):
     iso = get_ichrone(args.models, bands=list(args.bands))
     cat = simulate_cluster(
         args.N, age, feh, distance, AV, alpha, gamma, fB,
-        bands=list(args.bands), iso=iso, rng=args.seed,
+        bands=list(args.bands), iso=iso, rng=rng,
     )
     cat.df.to_csv(args.output)
     print(f"{args.N}-star CMD written to {args.output}")

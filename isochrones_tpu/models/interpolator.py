@@ -457,8 +457,12 @@ class ModelGridInterpolator:
         if self.eep_support is None:
             return self.maxeep
         feh_knots, mass_knots, age_arrays, lengths = self.eep_support
-        i_f = int(np.clip(np.searchsorted(np.asarray(feh_knots), feh) - 1, 0, len(np.asarray(feh_knots)) - 1))
-        i_m = int(np.clip(np.searchsorted(np.asarray(mass_knots), mass) - 1, 0, len(np.asarray(mass_knots)) - 1))
+        # side="right" - 1 selects the knot ITSELF on an exact match (the
+        # common case — queries usually sit on grid values) and the lower
+        # knot in a cell interior; side="left" - 1 picked the bin below an
+        # exact knot
+        i_f = int(np.clip(np.searchsorted(np.asarray(feh_knots), feh, side="right") - 1, 0, len(np.asarray(feh_knots)) - 1))
+        i_m = int(np.clip(np.searchsorted(np.asarray(mass_knots), mass, side="right") - 1, 0, len(np.asarray(mass_knots)) - 1))
         n_mass = len(np.asarray(mass_knots))
         return float(np.asarray(lengths)[i_f * n_mass + i_m])
 
@@ -486,6 +490,10 @@ class ModelGridInterpolator:
             seed = jnp.full(jnp.broadcast_shapes(mass.shape, age.shape, feh.shape), 300.0, dtype=mass.dtype)
             eep, resid = get_eep_newton(self.model, seed, mass, age, feh, i_mass)
             return jnp.where(jnp.abs(resid) < resid_tol, eep, jnp.nan)
+        raise NotImplementedError(
+            f"EEP inversion needs eep_replaces in ('age', 'mass'); this "
+            f"interpolator has eep_replaces={self.eep_replaces!r}"
+        )
 
     def get_eep(self, mass, age, feh, accurate=False, resid_tol=0.02, **kwargs):
         b = np.broadcast(np.asarray(mass, dtype=float), np.asarray(age, dtype=float), np.asarray(feh, dtype=float))
@@ -649,6 +657,12 @@ class ModelGridInterpolator:
         return df.dropna() if dropna else df
 
     def model_value(self, mass, age, feh, props, approx=False):
+        """reference models.py:447-455; unlike the reference, this delegates
+        iso -> track exactly as model_mag does (models.py:458-459) — the
+        [mass, eep, feh] ordering below is the TRACK grid's user order, and
+        feeding it to an isochrone interpolator reads (eep=mass, age=eep)."""
+        if self.eep_replaces == "mass":
+            return self.track.model_value(mass, age, feh, props, approx=approx)
         if isinstance(props, str):
             props = [props]
         eep = self.get_eep(mass, age, feh, accurate=not approx)
@@ -714,6 +728,13 @@ class IsochroneInterpolator(ModelGridInterpolator):
 
     @property
     def track(self):
+        if self._track is None:
+            raise ValueError(
+                "This IsochroneInterpolator has no linked track interpolator "
+                "(construct it with track=..., or use get_ichrone, which "
+                "wires both); mass-parameterized entry points (generate, "
+                "model_value, model_mag) delegate to it."
+            )
         return self._track
 
     def mass_age_resid(self, eep, mass, age, feh):

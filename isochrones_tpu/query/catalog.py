@@ -91,5 +91,8 @@ class Catalog:
 
     @property
     def is_good(self):
-        """Quality-cut hook (reference catalog.py:107-111)."""
+        """Quality-cut hook (reference catalog.py:107-111). The strict
+        ``> 0`` matches the reference exactly: it doubles as a NaN filter
+        (NaN > 0 is False), at the (shared, measure-zero) cost of dropping
+        a source at exactly the query position."""
         return np.asarray(self._table[self._distance_column]) > 0

@@ -58,6 +58,11 @@ class VizierCatalog(Catalog):
         ra0, dec0 = self.query_coords
         if "_r" not in table.columns:
             table["_r"] = separation_arcsec(ra0, dec0, table["_RAJ2000"], table["_DEJ2000"])
+        # NB deliberately (star -> query), matching the reference's
+        # `coords.position_angle(self.query_coords)` (query/vizier.py:27):
+        # the stored PA is the bearing of the QUERY POINT as seen from each
+        # star, not the star's bearing from the query. Quirky, but the
+        # convention must match for cross-implementation table parity.
         table["PA"] = position_angle_deg(
             table["_RAJ2000"].values, table["_DEJ2000"].values, ra0, dec0
         )
@@ -113,7 +118,11 @@ class Tycho2(VizierCatalog):
         elif -0.25 < x < 0.5:
             h, i, j = (0.006, 0.1069, 0.1459)
             BmV = x - h - i * x + j * x ** 2
-            dBmVdVT = -1 - i - 2 * j * x
+            # deviation: the reference writes -1 - i - 2jx here
+            # (query/vizier.py:89), a sign typo on the i term — d/dVT of
+            # (x - h - ix + jx^2) with dx/dVT = -1 is -1 + i - 2jx (its own
+            # first branch handles the analogous e term correctly)
+            dBmVdVT = -1 + i - 2 * j * x
         else:
             raise ValueError("BT-VT outside of range to convert")
         dBmVdBT = -dBmVdVT
@@ -157,4 +166,5 @@ class Gaia(VizierCatalog):
         gmag = np.asarray(t["Gmag"], dtype=float)
         factor = np.maximum(np.exp(-0.4 * (gmag - 19.5)), 1.0)
         good &= np.asarray(t["chi2AL"]) / (np.asarray(t["NgAL"]) - 5) < 1.44 * factor
-        return np.where(np.isnan(good.astype(float)), False, good).astype(bool)
+        # NaN column entries already compare False above — good is boolean
+        return np.asarray(good, dtype=bool)

@@ -27,7 +27,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["EnsembleState", "run_ensemble", "autocorr_time"]
+__all__ = ["EnsembleState", "run_ensemble", "run_ensemble_batch", "autocorr_time"]
 
 
 class EnsembleState(NamedTuple):
