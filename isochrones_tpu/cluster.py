@@ -124,7 +124,12 @@ class StarClusterModel(BasicStarModel):
         return "cluster" + (f"_{self.name}" if self.name else "")
 
     def bounds(self, prop):
-        """reference cluster.py:241-259"""
+        """reference cluster.py:241-259; the inherited ``set_bounds``
+        writes ``self._bounds``, which takes precedence (it also clears the
+        jit cache, so the marginalization ladder rebuilds)."""
+        override = getattr(self, "_bounds", {}).get(prop)
+        if override is not None:
+            return override
         if prop == "eep":
             return self._eep_bounds if self._eep_bounds is not None else (self.ic.mineep, self.ic.maxeep)
         if prop == "mass":

@@ -99,7 +99,10 @@ class Prior:
         if hasattr(self, "_lnpdf"):
             return self._lnpdf(x, **kwargs)
         pdf = self(x, **kwargs)
-        return np.log(pdf) if pdf else -np.inf
+        if np.ndim(pdf) == 0:
+            return np.log(pdf) if pdf else -np.inf
+        with np.errstate(divide="ignore"):
+            return np.where(pdf > 0, np.log(np.maximum(pdf, 1e-300)), -np.inf)
 
     def lnpdf_jax(self, x, **kwargs):
         """Pure-jnp log-pdf incl. bounds mask and normalization."""
@@ -148,10 +151,15 @@ class BoundedPrior(Prior):
     @bounds.setter
     def bounds(self, new):
         self._bounds = new
+        self._on_bounds_change()
         try:
             self.test_integral()
         except AssertionError:
             raise ValueError(f"Problem setting bounds to {new}; integral test failed.")
+
+    def _on_bounds_change(self):
+        """Hook for subclasses whose normalization depends on the bounds
+        (e.g. :class:`GaussianPrior` re-truncates). Default: nothing."""
 
     def pdf(self, x, **kwargs):
         if self.bounds is not None:
@@ -164,14 +172,23 @@ class BoundedPrior(Prior):
         return self._pdf(x, **kwargs)
 
     def lnpdf(self, x, **kwargs):
-        if self.bounds is not None:
+        if self.bounds is not None and np.ndim(x) == 0:
             lo, hi = self.bounds
-            if np.ndim(x) == 0 and (x < lo or x > hi):
+            if x < lo or x > hi:
                 return -np.inf
         if hasattr(self, "_lnpdf"):
-            return self._lnpdf(x, **kwargs)
-        pdf = self.pdf(x, **kwargs)
-        return np.log(pdf) if pdf else -np.inf
+            ln = self._lnpdf(x, **kwargs)
+        else:
+            pdf = self.pdf(x, **kwargs)
+            if np.ndim(pdf) == 0:
+                return np.log(pdf) if pdf else -np.inf
+            with np.errstate(divide="ignore"):
+                ln = np.where(pdf > 0, np.log(np.maximum(pdf, 1e-300)), -np.inf)
+        if self.bounds is not None and np.ndim(x) > 0:
+            lo, hi = self.bounds
+            x = np.asarray(x)
+            ln = np.where((x < lo) | (x > hi), -np.inf, ln)
+        return ln
 
     def lnpdf_jax(self, x, **kwargs):
         ln = self._lnpdf_jax(x, **kwargs)
@@ -197,18 +214,24 @@ class GaussianPrior(BoundedPrior):
         self.sigma = sigma
         self._bounds = bounds
         self._norm = 1.0
-        if bounds:
+        self._on_bounds_change()
+
+    def _on_bounds_change(self):
+        """(Re)build the truncation — assigning ``.bounds`` after
+        construction must re-truncate, not keep the old normalization."""
+        bounds = self._bounds
+        if bounds and np.all(np.isfinite(bounds)):
             lo, hi = bounds
             from scipy.stats import norm as _norm, truncnorm
 
-            a, b = (lo - mean) / sigma, (hi - mean) / sigma
-            self.distribution = truncnorm(a, b, loc=mean, scale=sigma)
+            a, b = (lo - self.mean) / self.sigma, (hi - self.mean) / self.sigma
+            self.distribution = truncnorm(a, b, loc=self.mean, scale=self.sigma)
             self.norm = _norm.cdf(b) - _norm.cdf(a)
             self.lognorm = math.log(self.norm)
         else:
             from scipy.stats import norm as _norm
 
-            self.distribution = _norm(mean, sigma)
+            self.distribution = _norm(self.mean, self.sigma)
             self.norm = 1.0
             self.lognorm = 0.0
 
@@ -364,10 +387,13 @@ class BrokenPrior(Prior):
         full_domain = [lo] + list(self.breakpoints) + [hi]
         self.domains = list(zip(full_domain[:-1], full_domain[1:]))
 
+        # continuity at each breakpoint: comp[i](x)/norms[i] ==
+        # comp[i-1](x)/norms[i-1], so the ratio must CHAIN through norms[i-1]
+        # (without it any 3+-component prior is discontinuous)
         norms = np.ones(self.n_components)
         for i in range(1, self.n_components):
             x = self.breakpoints[i - 1]
-            norms[i] = self.components[i](x) / self.components[i - 1](x)
+            norms[i] = norms[i - 1] * self.components[i](x) / self.components[i - 1](x)
 
         tot = 0.0
         for comp, (a, b), norm in zip(self.components, self.domains, norms):
@@ -557,27 +583,79 @@ class EEP_prior(BoundedPrior):
         pdf = self._pdf(eep, **kwargs)
         return np.log(pdf) if pdf > 0 else -np.inf
 
-    def sample(self, n, rng=None, **kwargs):
-        """Weighted resampling over the integer EEP ladder (priors.py:431-462)."""
+    def _ladder_weights(self, eeps, c0, c1):
+        """Unnormalized p(eep | conditioning) on ladder proposals: the
+        change-of-variables weight orig_prior(orig(eep)) * |d orig/d eep|."""
+        if self.orig_par == "age":
+            vals = np.asarray(self.ic.interp_value([c0, eeps, c1], ["dt_deep", "age"]))
+        else:
+            vals = np.asarray(self.ic.interp_value([eeps, c0, c1], ["dm_deep", "initial_mass"]))
+        deriv_val, orig_val = vals[..., 0], vals[..., 1]
+        finite = np.isfinite(orig_val)
+        safe = np.where(finite, orig_val, 1.0)  # placeholder; masked below
+        orig_pr = np.nan_to_num(np.asarray(self.orig_prior.pdf(safe)), nan=0.0)
+        return np.where(
+            finite & np.isfinite(deriv_val) & (deriv_val > 0),
+            orig_pr * deriv_val, 0.0,
+        )
+
+    def sample(self, n, rng=None, max_tries=100, **kwargs):
+        """Weighted resampling over the integer EEP ladder (priors.py:431-462).
+
+        With VECTOR conditioning (per-row age/feh or mass/feh), each row's
+        EEP is drawn from its OWN conditional via per-row importance
+        resampling of ``_n_prop`` uniform ladder proposals — a single global
+        categorical would detach EEPs from their rows' conditioning (e.g. an
+        age-10 row receiving an EEP weighted for age-6)."""
         r = _rng(rng)
         lo, hi = self.bounds
-        eeps = r.integers(int(lo), int(hi), n).astype(float)
-        if self.orig_par == "age":
-            mass = np.broadcast_to(np.asarray(kwargs["mass"], dtype=float), (n,))
-            feh = np.broadcast_to(np.asarray(kwargs["feh"], dtype=float), (n,))
-            vals = np.asarray(self.ic.interp_value([mass, eeps, feh], ["dt_deep", "age"]))
-        else:
-            age = np.broadcast_to(np.asarray(kwargs["age"], dtype=float), (n,))
-            feh = np.broadcast_to(np.asarray(kwargs["feh"], dtype=float), (n,))
-            vals = np.asarray(self.ic.interp_value([eeps, age, feh], ["dm_deep", "initial_mass"]))
-        deriv_val, orig_val = vals[:, 0], vals[:, 1]
-        orig_pr = np.array([self.orig_prior(v) if np.isfinite(v) else 0.0 for v in orig_val])
-        weights = np.where(np.isfinite(deriv_val) & (deriv_val > 0), orig_pr * deriv_val, 0.0)
-        tot = weights.sum()
-        if tot <= 0:
-            return self.sample(n, rng=r, **kwargs)
-        idx = r.choice(n, size=n, replace=True, p=weights / tot)
-        return eeps[idx]
+        names = ("mass", "feh") if self.orig_par == "age" else ("age", "feh")
+        cond = [np.asarray(kwargs[k], dtype=float) for k in names]
+        vector = any(np.ndim(c) > 0 and np.unique(c).size > 1 for c in cond)
+
+        if not vector:
+            # one shared condition: n proposals, resample ∝ weight
+            c0 = np.broadcast_to(cond[0], (n,))
+            c1 = np.broadcast_to(cond[1], (n,))
+            for _ in range(max_tries):
+                eeps = r.integers(int(lo), int(hi) + 1, n).astype(float)
+                weights = self._ladder_weights(eeps, c0, c1)
+                tot = weights.sum()
+                if tot > 0:
+                    idx = r.choice(n, size=n, replace=True, p=weights / tot)
+                    return eeps[idx]
+            raise ValueError(
+                f"EEP_prior.sample: no ladder point in {self.bounds} has "
+                f"support for conditioning {dict(zip(names, cond))}"
+            )
+
+        M = 32  # proposals per row
+        c0 = np.broadcast_to(cond[0], (n,)).astype(float)
+        c1 = np.broadcast_to(cond[1], (n,)).astype(float)
+        out = np.full(n, np.nan)
+        need = np.ones(n, dtype=bool)
+        for _ in range(max_tries):
+            m = int(need.sum())
+            if m == 0:
+                break
+            props = r.integers(int(lo), int(hi) + 1, (m, M)).astype(float)
+            w = self._ladder_weights(
+                props.ravel(), np.repeat(c0[need], M), np.repeat(c1[need], M)
+            ).reshape(m, M)
+            tot = w.sum(axis=1)
+            ok = tot > 0
+            if ok.any():
+                cdf = np.cumsum(w[ok], axis=1) / tot[ok, None]
+                pick = (cdf < r.random(int(ok.sum()))[:, None]).sum(axis=1)
+                rows = np.where(need)[0][ok]
+                out[rows] = props[ok, pick]
+                need[rows] = False
+        if need.any():
+            raise ValueError(
+                f"EEP_prior.sample: {int(need.sum())}/{n} rows have no ladder "
+                f"support in {self.bounds} for their conditioning values"
+            )
+        return out
 
     def test_integral(self):
         pass

@@ -391,17 +391,9 @@ class StarModel(BasicStarModel):
 
     def prior_transform_batch(self, u):
         """Unit cube -> params, per-system blocks with EEPs sorted descending
-        (reference mnest_prior, starmodel.py:677-693)."""
-        los, his = [], []
-        for par in self.param_names:
-            lo, hi = self.bounds(par)
-            los.append(lo)
-            his.append(hi)
-        los = jnp.asarray(np.asarray(los), dtype=u.dtype)
-        his = jnp.asarray(np.asarray(his), dtype=u.dtype)
-        pars = los + (his - los) * u
-        # sort each system's eeps descending
-        out = pars
+        (reference mnest_prior, starmodel.py:677-693). The box transform is
+        the inherited one; only the EEP ordering is layered on top."""
+        out = super().prior_transform_batch(u)
         i = 0
         for s in self.obs.systems:
             n = self.obs.Nstars[s]

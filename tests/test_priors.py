@@ -107,3 +107,67 @@ def test_eep_prior():
     samples = prior.sample(500, rng=0, mass=1.0, feh=0.0)
     assert len(samples) == 500
     assert (samples >= prior.bounds[0]).all() and (samples <= prior.bounds[1]).all()
+
+
+def test_bounded_lnpdf_vectorized_masks_oob():
+    """Array inputs must get the same bounds mask scalars do (regression:
+    out-of-bounds array entries returned finite log-density)."""
+    g = GaussianPrior(0.0, 1.0, bounds=(-1, 1))
+    out = g.lnpdf(np.array([0.0, 5.0]))
+    assert np.isfinite(out[0]) and out[1] == -np.inf
+    f = FlatPrior((0, 1))
+    out = f.lnpdf(np.array([0.5, 2.0]))  # used to raise ValueError
+    assert np.isfinite(out[0]) and out[1] == -np.inf
+
+
+def test_broken_prior_continuous_three_components():
+    """Continuity norms must CHAIN across breakpoints (regression: 3+
+    components had a jump at the second breakpoint)."""
+    from isochrones_tpu.priors import BrokenPrior, PowerLawPrior
+
+    p = BrokenPrior(
+        [PowerLawPrior(1.0, (1.0, 9.0)), PowerLawPrior(-0.5, (1.0, 9.0)),
+         PowerLawPrior(2.0, (1.0, 9.0))],
+        [3.0, 6.0], bounds=(1.0, 9.0),
+    )
+    for bp in (3.0, 6.0):
+        lo, hi = p.pdf(bp - 1e-9), p.pdf(bp + 1e-9)
+        assert lo == pytest.approx(hi, rel=1e-6), (bp, lo, hi)
+    p.test_integral()
+
+
+def test_gaussian_bounds_setter_retruncates():
+    """Assigning .bounds after construction must rebuild the truncation
+    (regression: it kept the old norm and always failed test_integral)."""
+    g = GaussianPrior(0.0, 1.0)
+    g.bounds = (-1.0, 1.0)
+    assert g.norm == pytest.approx(0.6826894921370859)
+    x = g.sample(2000, rng=1)
+    assert np.all((x >= -1) & (x <= 1))
+
+
+def test_eep_prior_sample_respects_row_conditioning():
+    """Vector age/feh: each row's EEP must come from its OWN conditional
+    (regression: one global categorical detached EEPs from their rows)."""
+    from isochrones_tpu import get_ichrone
+    from isochrones_tpu.priors import ChabrierPrior
+
+    iso = get_ichrone("synthetic", n_feh=5, n_mass=20, n_eep=80, n_age=20)
+    lo, hi = iso.get_limits("eep")
+    prior = EEP_prior(iso, ChabrierPrior(), bounds=(lo + 1, hi - 1))
+    rng = np.random.default_rng(0)
+    n = 400
+    age = np.where(rng.random(n) < 0.5, 8.2, 9.6)  # two very different ages
+    feh = np.zeros(n)
+    eeps = prior.sample(n, rng=1, age=age, feh=feh)
+    assert np.isfinite(eeps).all()
+    # per-row lnpdf of the drawn eep under its own conditioning: every draw
+    # must be supported by its own row (the old sampler violated this)
+    import jax.numpy as jnp
+
+    ln = np.asarray(prior.lnpdf_jax(jnp.asarray(eeps), age=jnp.asarray(age), feh=jnp.asarray(feh)))
+    assert np.isfinite(ln).all()
+    # the two age groups must have distinct EEP distributions
+    m_young = np.median(eeps[age < 9.0])
+    m_old = np.median(eeps[age > 9.0])
+    assert m_young != m_old
