@@ -651,10 +651,12 @@ class EEP_prior(BoundedPrior):
                 out[rows] = props[ok, pick]
                 need[rows] = False
         if need.any():
-            raise ValueError(
-                f"EEP_prior.sample: {int(need.sum())}/{n} rows have no ladder "
-                f"support in {self.bounds} for their conditioning values"
-            )
+            # rows whose (age, feh)/(mass, feh) has no supported ladder point
+            # (e.g. an age beyond every track at that feh): return a uniform
+            # ladder draw — such rows have zero posterior support anyway, and
+            # callers' require_valid rejection loops redraw the WHOLE row
+            # (conditioning included), which a raise here would prevent
+            out[need] = r.integers(int(lo), int(hi) + 1, int(need.sum())).astype(float)
         return out
 
     def test_integral(self):
