@@ -174,14 +174,20 @@ class BatchStarFitter:
                     - 0.5 * resid ** 2 / spec_uncs[..., k] ** 2
                 )
                 ll = ll + jnp.where(jnp.isnan(spec_vals[..., k]), 0.0, term)
+            # NaN measurements contribute nothing (same contract as the spec
+            # terms above) — otherwise one NaN band/parallax row poisons that
+            # star's lnpost to -inf for EVERY parameter value
             resid = mag_vals - mags
-            ll = ll + jnp.sum(
-                LOG_ONE_OVER_ROOT_2PI + jnp.log(mag_uncs) - 0.5 * resid ** 2 / mag_uncs ** 2,
-                axis=-1,
+            mag_terms = (
+                LOG_ONE_OVER_ROOT_2PI + jnp.log(mag_uncs) - 0.5 * resid ** 2 / mag_uncs ** 2
             )
+            ll = ll + jnp.sum(jnp.where(jnp.isnan(mag_vals), 0.0, mag_terms), axis=-1)
             if has_plax:
                 r = plax - 1000.0 / pars[..., 3]
-                ll = ll + LOG_ONE_OVER_ROOT_2PI + jnp.log(plax_unc) - 0.5 * r ** 2 / plax_unc ** 2
+                plax_term = (
+                    LOG_ONE_OVER_ROOT_2PI + jnp.log(plax_unc) - 0.5 * r ** 2 / plax_unc ** 2
+                )
+                ll = ll + jnp.where(jnp.isnan(plax), 0.0, plax_term)
 
             # priors: shared families; per-star distance bound (alpha=2
             # power law from 0: ln p = ln 3 - 3 ln hi + 2 ln d)
@@ -359,6 +365,17 @@ class BatchStarFitter:
             logz[s] = lz
             logzerr[s] = np.sqrt(max(h, 0.0) / n_live)
             ess[s] = e
+            if not np.isfinite(lz) or probs.sum() <= 0:
+                # star with zero posterior support everywhere (e.g. data
+                # inconsistent with the whole grid): NaN posterior rather
+                # than crashing the whole-catalog resampling
+                getLogger().warning(
+                    "fit_multinest: star %d has no posterior support "
+                    "(logz=%s); returning NaN samples for it.", s, lz,
+                )
+                samples[s] = np.nan
+                lnprob[s] = -np.inf
+                continue
             idx = rng.choice(len(probs), size=n_equal, replace=True, p=probs)
             samples[s] = los[None] + (his[s][None] - los[None]) * all_u[idx]
             lnprob[s] = all_lnl[idx]

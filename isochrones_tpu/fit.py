@@ -161,7 +161,7 @@ def fit_mcmc_convergent(
         neff = niter / max(tau_max, 1e-9) - nburn
         if verbose:
             logger.info("Maximum autocorrelation time: %s", tau_max)
-            logger.info("N_eff: %s (%s)", neff * nwalkers, neff - nburn)
+            logger.info("N_eff: %s (%s)", neff * nwalkers, neff)
         return tau_max, neff
 
     done = False
@@ -187,7 +187,15 @@ def fit_mcmc_convergent(
 
     full = np.concatenate(chains, axis=0)
     full_ln = np.concatenate(lns, axis=0)
-    burnin = int(nburn * tau_max)
+    if not done:
+        logger.warning(
+            "fit_mcmc_convergent: not converged after maxiter=%d chunks "
+            "(tau_max=%.0f, need neff > %s); samples may be unreliable.",
+            maxiter, tau_max, targetn,
+        )
+    # never burn the whole chain: a non-converged tau_max can exceed the
+    # chain length, which would silently return an empty DataFrame
+    burnin = min(int(nburn * tau_max), full.shape[0] // 2)
     samples = full[burnin:].reshape(-1, full.shape[-1])
     ln_flat = full_ln[burnin:].reshape(-1)
     ntot = min(nsamples, len(samples))

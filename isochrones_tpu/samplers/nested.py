@@ -160,8 +160,11 @@ def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_groups
             eps = eps @ L.T
         eps = eps * scale
         prop = x + eps
-        # reflect at the cube boundary
-        prop = jnp.abs(prop)
+        # reflect at the cube boundary: full triangle-wave fold maps ALL of
+        # R into [0, 1] (abs-then-mirror alone fails beyond |prop| > 2,
+        # letting large whitened steps escape the cube when the likelihood
+        # happens to be finite outside it)
+        prop = jnp.abs(prop) % 2.0
         prop = 1.0 - jnp.abs(1.0 - prop)
         lnl_prop = lnlike_u(prop)
         lnl_prop = jnp.where(jnp.isnan(lnl_prop), -jnp.inf, lnl_prop)
@@ -462,7 +465,6 @@ def _run_nested_multi(
     dead_u_chunks, dead_lnl_chunks = [], []
     n_dead_total = 0
     done = np.zeros(R, dtype=bool)
-    min_ess_run = min_ess / R  # combined posterior ESS pools across runs
     running = _RunningEvidence(n_live, shape=(R,))
     while n_dead_total < hard_cap:
         n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
@@ -479,8 +481,15 @@ def _run_nested_multi(
         logz_dead, ess_now = running.status(live_now)  # (R,), (R,)
         logz_remain = np.max(live_now, axis=1) + ln_x_last
         frac = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain))
-        done = (frac < dlogz) & (ess_now >= min_ess_run)
-        if done.all():
+        # the ESS gate is the POOLED Z-weighted mixture ESS (same formula as
+        # the final report): a per-run min_ess/R threshold would let the loop
+        # stop with a Z-dominant run contributing only ~min_ess/R
+        zw = np.exp(logz_dead - np.logaddexp.reduce(logz_dead)) if np.any(
+            np.isfinite(logz_dead)
+        ) else np.full(R, 1.0 / R)
+        pooled_ess = 1.0 / np.sum(zw ** 2 / np.maximum(ess_now, 1e-12))
+        done = frac < dlogz
+        if done.all() and pooled_ess >= min_ess:
             break
 
     dead_u = np.concatenate(dead_u_chunks, axis=1)

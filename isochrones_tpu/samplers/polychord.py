@@ -32,7 +32,7 @@ from .nested import NestedResult, run_nested
 
 __all__ = ["run_polychord"]
 
-_N_EXPAND = 4  # stepping-out doublings (bracket grows up to 2^4 * w0)
+_N_EXPAND = 4  # stepping-out rounds (interval at least doubles per round -> up to ~3^4 * w0)
 _N_SHRINK = 8  # shrinkage rejections per slice move
 
 
@@ -75,8 +75,11 @@ def _slice_move(lnlike_u, key, x0, lnl_star, L, w0):
     def eval_at(t):
         return _masked_lnl(x0 + t[:, None] * dvec)
 
-    # stepping out: double each end while it is still inside the slice
-    # (both ends evaluated in ONE likelihood batch of 2K points)
+    # stepping out: while an END is still inside the slice, push it outward
+    # by the CURRENT bracket width (doubling the interval — Neal 2003 §4).
+    # Doubling the endpoint VALUES instead would freeze any end that starts
+    # near t=0 (u0 near 0 or 1), exploring only one side of the slice.
+    # Both ends are evaluated in ONE likelihood batch of 2K points.
     def expand(carry, _):
         t_lo, t_hi = carry
         both = jnp.concatenate([t_lo, t_hi])
@@ -84,8 +87,9 @@ def _slice_move(lnlike_u, key, x0, lnl_star, L, w0):
         lnl_b = _masked_lnl(xs)
         inside_lo = lnl_b[:K] > lnl_star
         inside_hi = lnl_b[K:] > lnl_star
-        t_lo = jnp.where(inside_lo, 2.0 * t_lo, t_lo)
-        t_hi = jnp.where(inside_hi, 2.0 * t_hi, t_hi)
+        width = t_hi - t_lo
+        t_lo = jnp.where(inside_lo, t_lo - width, t_lo)
+        t_hi = jnp.where(inside_hi, t_hi + width, t_hi)
         return (t_lo, t_hi), None
 
     (t_lo, t_hi), _ = jax.lax.scan(expand, (t_lo, t_hi), None, length=_N_EXPAND)

