@@ -139,7 +139,11 @@ def _make_kernel(logp, dim, max_depth):
             return (n + 1, z, r, g, z_prop, lnp_prop, g_prop, logw_new,
                     turning, divergent, sum_alpha, z_ck, r_ck, key)
 
-        lnp0, _ = vg(z0)
+        # the init proposal carries weight -inf and can never be selected
+        # (the caller's merge needs finite logw_sub), so its lnp slot is a
+        # dead placeholder — computing vg(z0) here wasted one full
+        # value_and_grad per subtree
+        lnp0 = jnp.asarray(-jnp.inf, dtype=z0.dtype)
         init = (
             jnp.asarray(0, dtype=jnp.int32), z0, r0, g0,
             z0, lnp0, g0, jnp.asarray(-jnp.inf, dtype=z0.dtype),
@@ -156,12 +160,12 @@ def _make_kernel(logp, dim, max_depth):
         h0 = -lnp + 0.5 * jnp.dot(r0, inv_mass * r0)
 
         def cond(state):
-            (depth, _, _, _, _, _, _, _, _, _, turning, divergent, _, _, _) = state
+            (depth, _, _, _, _, _, _, _, _, _, _, turning, divergent, _, _, _) = state
             return (depth < max_depth) & ~turning & ~divergent
 
         def body(state):
             (depth, z_minus, r_minus, g_minus, z_plus, r_plus, g_plus,
-             z_prop, lnp_prop, logw, _, _, sum_alpha, n_leap, key) = state
+             z_prop, lnp_prop, g_prop, logw, _, _, sum_alpha, n_leap, key) = state
             key, k_dir, k_merge, k_sub = jax.random.split(key, 4)
             v = jnp.where(jax.random.uniform(k_dir) < 0.5, -1.0, 1.0)
             n_leaves = jnp.asarray(2 ** 0, jnp.int32) << depth  # 2^depth
@@ -182,6 +186,7 @@ def _make_kernel(logp, dim, max_depth):
             take = ok & (jnp.log(jax.random.uniform(k_merge)) < (logw_sub - logw_new))
             z_prop = jnp.where(take, z_psub, z_prop)
             lnp_prop = jnp.where(take, lnp_psub, lnp_prop)
+            g_prop = jnp.where(take, g_psub, g_prop)
             logw = jnp.where(ok, logw_new, logw)
 
             z_minus2 = jnp.where(v > 0, z_minus, z_end)
@@ -194,22 +199,24 @@ def _make_kernel(logp, dim, max_depth):
             # full-trajectory U-turn (momenta both point outward in time)
             turning = turn_sub | _uturn(z_plus2 - z_minus2, r_minus2, r_plus2, inv_mass)
             return (depth + 1, z_minus2, r_minus2, g_minus2, z_plus2, r_plus2,
-                    g_plus2, z_prop, lnp_prop, logw, turning, div_sub,
+                    g_plus2, z_prop, lnp_prop, g_prop, logw, turning, div_sub,
                     sum_alpha, n_leap, key)
 
         init = (
             jnp.asarray(0, jnp.int32), z, r0, g, z, r0, g,
-            z, lnp, jnp.asarray(0.0, z.dtype),  # root leaf weight exp(h0-h0)=1
+            z, lnp, g, jnp.asarray(0.0, z.dtype),  # root leaf weight exp(h0-h0)=1
             jnp.asarray(False), jnp.asarray(False),
             jnp.asarray(0.0, z.dtype), jnp.asarray(0, jnp.int32), key,
         )
         out = jax.lax.while_loop(cond, body, init)
         (depth, z_minus, r_minus, g_minus, z_plus, r_plus, g_plus,
-         z_prop, lnp_prop, logw, turning, divergent, sum_alpha, n_leap, key) = out
+         z_prop, lnp_prop, g_prop, logw, turning, divergent, sum_alpha, n_leap, key) = out
 
-        lnp_new, g_new = vg(z_prop)
+        # (lnp, grad) of the proposal are carried through the merges —
+        # recomputing vg(z_prop) here wasted one value_and_grad per
+        # transition on top of the per-subtree waste above
         accept_stat = sum_alpha / jnp.maximum(n_leap, 1)
-        return z_prop, lnp_new, g_new, accept_stat, divergent
+        return z_prop, lnp_prop, g_prop, accept_stat, divergent
 
     return kernel
 
