@@ -48,7 +48,10 @@ def get_AV_infinity(ra, dec, frame="icrs"):
 
     rah, ram, ras = _deg_to_hms(float(ra) % 360.0)
     decd, decm, decs = _deg_to_dms(float(dec))
-    decsign = "%2B" if decd >= 0 else "%2D"
+    # sign from the ORIGINAL dec: for -1 < dec < 0 the degrees field is
+    # (integer) 0 and cannot carry the sign — `decd >= 0` would silently
+    # query the wrong hemisphere
+    decsign = "%2B" if float(dec) >= 0 else "%2D"
     url = (
         "http://ned.ipac.caltech.edu/cgi-bin/nph-calc?in_csys=Equatorial"
         "&in_equinox=J2000.0&obs_epoch=2010&lon="

@@ -29,7 +29,9 @@ _lib_failed = False
 
 
 def _build_lib():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB, _SRC]
+    # no -march=native: the parser is strtod-bound (ISA gains are nil) and a
+    # portable binary can't SIGILL if it ever escapes this machine
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC]
     getLogger().info("Building native parser: %s", " ".join(cmd))
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -66,21 +68,41 @@ def parse_numeric_table(filename) -> np.ndarray:
     float64 array using the native parser (pandas fallback)."""
     lib = get_fastparse_lib()
     if lib is None:
-        import pandas as pd
+        return _pandas_parse(filename)
 
-        return pd.read_csv(filename, sep=r"\s+", comment="#", header=None).values.astype(float)
+    import mmap
 
     with open(filename, "rb") as f:
-        buf = f.read()
-    n = len(buf)
-    n_rows = ctypes.c_int64()
-    n_cols = ctypes.c_int64()
-    lib.count_table(buf, n, ctypes.byref(n_rows), ctypes.byref(n_cols))
-    out = np.empty((n_rows.value, n_cols.value), dtype=np.float64)
-    parsed = lib.parse_table(buf, n, out, n_rows.value, n_cols.value)
+        n = os.fstat(f.fileno()).st_size
+        if n == 0:
+            return np.empty((0, 0), dtype=np.float64)
+        # ACCESS_COPY: pages stay shared (kernel copy-on-write) but the
+        # buffer is writable from Python's side, which ctypes.from_buffer
+        # requires; nothing here writes, so no page is ever copied
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_COPY) as mm:
+            buf = ctypes.c_char_p(ctypes.addressof(ctypes.c_char.from_buffer(mm)))
+            n_rows = ctypes.c_int64()
+            n_cols = ctypes.c_int64()
+            rc = lib.count_table(buf, n, ctypes.byref(n_rows), ctypes.byref(n_cols))
+            if rc != 0:
+                # ragged table: rows disagree on column count — the fast
+                # path would silently truncate/pad; use the strict parser
+                getLogger().warning(
+                    "%s has inconsistent column counts; falling back to the "
+                    "strict pandas parser", filename,
+                )
+                return _pandas_parse(filename)
+            out = np.empty((n_rows.value, n_cols.value), dtype=np.float64)
+            parsed = lib.parse_table(buf, n, out, n_rows.value, n_cols.value)
     if parsed != n_rows.value:
         raise IOError(f"parsed {parsed} rows, expected {n_rows.value} in {filename}")
     return out
+
+
+def _pandas_parse(filename):
+    import pandas as pd
+
+    return pd.read_csv(filename, sep=r"\s+", comment="#", header=None).values.astype(float)
 
 
 def read_whitespace_table(filename, names):

@@ -185,11 +185,19 @@ class SyntheticStellarGrids:
     bands: Tuple[str, ...]
 
     def astype(self, dtype):
+        # the EEP-inversion support matrices must follow too, or a float32
+        # session promotes the hot inversion kernel back to float64
         return dataclasses.replace(
             self,
             track=self.track.astype(dtype),
             iso=self.iso.astype(dtype),
             bc=self.bc.astype(dtype),
+            age_arrays=np.asarray(self.age_arrays, dtype=dtype),
+            dt_deep_arrays=np.asarray(self.dt_deep_arrays, dtype=dtype),
+            fehs=np.asarray(self.fehs, dtype=dtype),
+            masses=np.asarray(self.masses, dtype=dtype),
+            eeps=np.asarray(self.eeps, dtype=dtype),
+            ages=np.asarray(self.ages, dtype=dtype),
         )
 
 

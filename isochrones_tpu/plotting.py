@@ -18,9 +18,16 @@ def corner(data, labels=None, truths=None, ranges=None, bins=30, quantiles=(0.16
     truths : optional per-column vertical/crosshair markers
     ranges : optional per-column (lo, hi) plot limits
     """
+    import os
+    import sys
+
     import matplotlib
 
-    matplotlib.use("Agg", force=False)
+    # only force a non-interactive backend when pyplot isn't loaded AND
+    # there is no display — globally switching to Agg in an interactive
+    # session would make every later plt.show() render nothing
+    if "matplotlib.pyplot" not in sys.modules and not os.environ.get("DISPLAY"):
+        matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
 
     if hasattr(data, "values"):
@@ -29,6 +36,8 @@ def corner(data, labels=None, truths=None, ranges=None, bins=30, quantiles=(0.16
         x = np.asarray(data.values, dtype=float)
     else:
         x = np.asarray(data, dtype=float)
+    if x.ndim == 1:  # single-parameter posterior
+        x = x[:, None]
     n, d = x.shape
     labels = labels if labels is not None else [f"p{i}" for i in range(d)]
 
@@ -46,8 +55,11 @@ def corner(data, labels=None, truths=None, ranges=None, bins=30, quantiles=(0.16
 
     if fig is None:
         fig, axes = plt.subplots(d, d, figsize=(2.0 * d, 2.0 * d))
-    else:
+    elif len(fig.axes) == d * d:
         axes = np.array(fig.axes).reshape(d, d)
+    else:  # fresh (or mismatched) figure: create the grid ourselves
+        fig.clf()
+        axes = np.array(fig.subplots(d, d))
     if d == 1:
         axes = np.array([[axes]]) if not isinstance(axes, np.ndarray) else axes.reshape(1, 1)
 
