@@ -327,9 +327,11 @@ class ObsNode(Node):
             mag = mag - self.reference.value[0]
         else:
             mod = self.model_mag(model_values)
+        from .ops.likelihood import LOG_ONE_OVER_ROOT_2PI
+
         return (
             -0.5 * (mag - mod) ** 2 / dmag ** 2
-            + math.log(1.0 / math.sqrt(2 * math.pi))
+            + LOG_ONE_OVER_ROOT_2PI
             + math.log(dmag)
         )
 
@@ -848,6 +850,11 @@ class ObservationTree(Node):
         :meth:`plan`."""
         import math
 
+        if not isinstance(pardict, dict):
+            # reference accepts a flat parameter vector too
+            # (observation.py:1181-1186)
+            pardict = self.p2pardict(list(np.asarray(pardict, dtype=float)))
+
         lnl = 0
         for n in self:
             if n is not self:
@@ -855,7 +862,7 @@ class ObservationTree(Node):
             if not np.isfinite(lnl):
                 return -np.inf
 
-        const = math.log(1.0 / math.sqrt(2 * math.pi))
+        from .ops.likelihood import LOG_ONE_OVER_ROOT_2PI as const
         for l in self.spectroscopy:
             for prop, (val, err) in self.spectroscopy[l].items():
                 mod = model_values[l][prop]
@@ -1018,7 +1025,10 @@ def compile_plan(tree: ObservationTree, ic) -> TreePlan:
         mag, unc = n.value
         obs_val[i] = mag
         obs_unc[i] = unc if np.isfinite(unc) else 1.0
-        if np.isnan(unc):
+        if not np.isfinite(unc):
+            # NaN and inf uncertainties both mean "unconstrained": an inf-unc
+            # row left active with the 1.0 placeholder would invent a
+            # full-strength Gaussian term
             obs_active[i] = 0.0
         if n.relative:
             if n.reference is None or n.reference is n:
@@ -1123,6 +1133,23 @@ def make_tree_lnlike(plan: TreePlan):
     obs_unc = jnp.asarray(plan.obs_unc)
     obs_ref = jnp.asarray(plan.obs_ref)
     obs_active = jnp.asarray(plan.obs_active)
+    # spec/limit/parallax/AV plan arrays hoisted like the photometry block:
+    # converting inside the closure re-uploads constants on every un-jitted
+    # evaluation
+    spec_star_j = jnp.asarray(plan.spec_star) if len(plan.spec_star) else None
+    spec_prop_j = jnp.asarray(plan.spec_prop) if len(plan.spec_star) else None
+    spec_val_j = jnp.asarray(plan.spec_val) if len(plan.spec_star) else None
+    spec_unc_j = jnp.asarray(plan.spec_unc) if len(plan.spec_star) else None
+    lim_star_j = jnp.asarray(plan.lim_star) if len(plan.lim_star) else None
+    lim_prop_j = jnp.asarray(plan.lim_prop) if len(plan.lim_star) else None
+    lim_lo_j = jnp.asarray(plan.lim_lo) if len(plan.lim_star) else None
+    lim_hi_j = jnp.asarray(plan.lim_hi) if len(plan.lim_star) else None
+    plax_idx_j = jnp.asarray(plan.plax_idx) if len(plan.plax_idx) else None
+    plax_val_j = jnp.asarray(plan.plax_val) if len(plan.plax_idx) else None
+    plax_unc_j = jnp.asarray(plan.plax_unc) if len(plan.plax_idx) else None
+    av_idx_j = jnp.asarray(plan.av_idx) if len(plan.av_idx) else None
+    av_val_j = jnp.asarray(plan.av_val) if len(plan.av_idx) else None
+    av_unc_j = jnp.asarray(plan.av_unc) if len(plan.av_idx) else None
 
     def lnlike_batch(p):
         # (B, n_stars, 5) per-star parameter rows (pure gather)
@@ -1134,9 +1161,20 @@ def make_tree_lnlike(plan: TreePlan):
 
         if plan.member.shape[0]:
             flux = 10.0 ** (-0.4 * mags)  # (B, n_stars, n_bands)
-            # masked flux sum per obs row: MXU einsum over the star axis
+            # masked flux sum per obs row: MXU einsum over the star axis.
+            # NaN fluxes must be zeroed BEFORE the einsum (0 * NaN = NaN
+            # would leak one off-grid star's NaN into EVERY row, -inf'ing
+            # regions the host path evaluates finitely); NaN MEMBERSHIP is
+            # tracked separately so only rows that actually contain the
+            # off-grid star go bad.
             flux_b = flux[..., obs_band]  # (B, n_stars, n_obs)
-            model_flux = jnp.einsum("...so,os->...o", flux_b, member)
+            flux_nan = jnp.isnan(flux_b)
+            model_flux = jnp.einsum(
+                "...so,os->...o", jnp.where(flux_nan, 0.0, flux_b), member
+            )
+            row_nan = (
+                jnp.einsum("...so,os->...o", flux_nan.astype(p.dtype), member) > 0
+            )
             model_mag = -2.5 * jnp.log10(model_flux)  # (B, n_obs)
 
             is_rel = obs_ref >= 0
@@ -1149,9 +1187,12 @@ def make_tree_lnlike(plan: TreePlan):
                 + jnp.log(obs_unc)
             )
             lnl = lnl + jnp.sum(jnp.where(obs_active > 0, terms, 0.0), axis=-1)
-            # NaN model mags (off-grid) poison the posterior -> -inf, matching
-            # the reference's finite check per node (observation.py:1197-1199)
-            bad = jnp.any((obs_active > 0) & ~jnp.isfinite(mod), axis=-1)
+            # an ACTIVE row whose members include an off-grid star (or whose
+            # reference row does) poisons the posterior -> -inf, matching the
+            # reference's finite check per node (observation.py:1197-1199)
+            row_bad = row_nan | ~jnp.isfinite(model_mag)
+            row_bad = row_bad | (is_rel & row_bad[..., ref_safe])
+            bad = jnp.any((obs_active > 0) & row_bad, axis=-1)
             lnl = jnp.where(bad, -jnp.inf, lnl)
 
         need_spec = len(plan.spec_star) or len(plan.lim_star)
@@ -1169,34 +1210,34 @@ def make_tree_lnlike(plan: TreePlan):
             prop_mat = jnp.stack(props, axis=-1)  # (B, n_stars, 4)
 
         if len(plan.spec_star):
-            mod = prop_mat[..., jnp.asarray(plan.spec_star), jnp.asarray(plan.spec_prop)]
-            sval = jnp.asarray(plan.spec_val)
-            sunc = jnp.asarray(plan.spec_unc)
+            mod = prop_mat[..., spec_star_j, spec_prop_j]
+            sval = spec_val_j
+            sunc = spec_unc_j
             terms = -0.5 * (sval - mod) ** 2 / sunc ** 2 + LOG_ONE_OVER_ROOT_2PI + jnp.log(sunc)
             lnl = lnl + jnp.sum(terms, axis=-1)
             lnl = jnp.where(jnp.any(~jnp.isfinite(mod), axis=-1), -jnp.inf, lnl)
 
         if len(plan.lim_star):
-            mod = prop_mat[..., jnp.asarray(plan.lim_star), jnp.asarray(plan.lim_prop)]
-            lo = jnp.asarray(plan.lim_lo)
-            hi = jnp.asarray(plan.lim_hi)
+            mod = prop_mat[..., lim_star_j, lim_prop_j]
+            lo = lim_lo_j
+            hi = lim_hi_j
             bad = jnp.any((mod < lo) | (mod > hi) | ~jnp.isfinite(mod), axis=-1)
             lnl = jnp.where(bad, -jnp.inf, lnl)
 
         if len(plan.plax_idx):
-            dist = p[..., jnp.asarray(plan.plax_idx)]
+            dist = p[..., plax_idx_j]
             mod = 1000.0 / dist
-            pval = jnp.asarray(plan.plax_val)
-            punc = jnp.asarray(plan.plax_unc)
+            pval = plax_val_j
+            punc = plax_unc_j
             lnl = lnl + jnp.sum(
                 -0.5 * (pval - mod) ** 2 / punc ** 2 + LOG_ONE_OVER_ROOT_2PI + jnp.log(punc),
                 axis=-1,
             )
 
         if len(plan.av_idx):
-            av = p[..., jnp.asarray(plan.av_idx)]
-            aval = jnp.asarray(plan.av_val)
-            aunc = jnp.asarray(plan.av_unc)
+            av = p[..., av_idx_j]
+            aval = av_val_j
+            aunc = av_unc_j
             lnl = lnl + jnp.sum(
                 -0.5 * (aval - av) ** 2 / aunc ** 2 + LOG_ONE_OVER_ROOT_2PI + jnp.log(aunc),
                 axis=-1,

@@ -134,7 +134,7 @@ def get_eep_newton(
     x1: jnp.ndarray,  # second grid-axis coordinate (mass for tracks, feh for isos)
     i_age_col: int,
     n_iter: int = 12,
-) -> jnp.ndarray:
+) -> tuple:  # (eep, residual)
     """Accurate EEP inversion: vmapped damped-Newton refinement of the residual
     ``interp(x0, x1, eep)[col] - target`` seeded by the fast estimate.
 

@@ -30,7 +30,11 @@ def _find_closest_fn(f, a, b, bisect_tol=0.5, newton_tol=0.01, max_iter=100, max
     ya = ya.astype(dtype)
     yb = f(b)
 
-    bad = jnp.isnan(ya) | jnp.isnan(yb) | (jnp.sign(ya) == jnp.sign(yb))
+    # precedence matches the reference exactly (interp.py:424-434, pinned by
+    # tests/reference_oracle.py::ref_find_closest3): a NaN bracket endpoint
+    # -> NaN FIRST, then the |y| < tol shortcuts, then same-sign -> NaN
+    nan_bracket = jnp.isnan(ya) | jnp.isnan(yb)
+    same_sign = jnp.sign(ya) == jnp.sign(yb)
     hit_a = jnp.abs(ya) < newton_tol
     hit_b = jnp.abs(yb) < newton_tol
 
@@ -49,11 +53,18 @@ def _find_closest_fn(f, a, b, bisect_tol=0.5, newton_tol=0.01, max_iter=100, max
         yb2 = jnp.where(same, yb, yc)
         return a2, b2, ya2, yb2, c, yc, i + 1
 
+    # first bisection applied before the loop (the reference's do-while):
+    # the loop body would otherwise recompute the same midpoint residual —
+    # one redundant grid interpolation (the dominant cost) per solve
     c0 = (a + b) / 2
     yc0 = f(c0)
-    a1, b1, ya1, yb1, c, yc = jax.lax.while_loop(
-        bisect_cond, bisect_body, (a, b, ya, yb, c0, yc0, 0)
-    )[:6]
+    same0 = jnp.sign(yc0) == jnp.sign(ya)
+    init = (
+        jnp.where(same0, c0, a), jnp.where(same0, b, c0),
+        jnp.where(same0, yc0, ya), jnp.where(same0, yb, yc0),
+        c0, yc0, 1,
+    )
+    a1, b1, ya1, yb1, c, yc = jax.lax.while_loop(bisect_cond, bisect_body, init)[:6]
 
     # Newton-secant seeded at bisection midpoint (interp.py:454-485)
     x0, y0 = c, yc
@@ -66,15 +77,17 @@ def _find_closest_fn(f, a, b, bisect_tol=0.5, newton_tol=0.01, max_iter=100, max
 
     def secant_body(state):
         x0, y0, x1, y1, i = state
-        denom = y1 - y0
-        newx = jnp.where(denom == 0, x1, (x0 * y1 - x1 * y0) / jnp.where(denom == 0, 1.0, denom))
+        # plain division, as the reference (interp.py:470): a stalled secant
+        # (y1 == y0) produces inf -> f(inf) = NaN -> NaN result, rather than
+        # silently returning an unconverged point
+        newx = (x0 * y1 - x1 * y0) / (y1 - y0)
         return x1, y1, newx, f(newx), i + 1
 
     _, _, xf, yf, _ = jax.lax.while_loop(secant_cond, secant_body, (x0, y0, x1, y1, 0))
     xf = jnp.where(jnp.isnan(yf), jnp.nan, xf)
 
-    out = jnp.where(hit_a, a, jnp.where(hit_b, b, xf))
-    return jnp.where(bad & ~hit_a & ~hit_b, jnp.nan, out)
+    out = jnp.where(hit_a, a, jnp.where(hit_b, b, jnp.where(same_sign, jnp.nan, xf)))
+    return jnp.where(nan_bracket, jnp.nan, out)
 
 
 @partial(jax.jit, static_argnames=("icol", "bisect_tol", "newton_tol", "max_iter"))
@@ -85,7 +98,9 @@ def find_closest_grid(
 
     def f(x):
         pt = jnp.stack([jnp.asarray(v1, x.dtype), jnp.asarray(v2, x.dtype), x])[None]
-        return interp_nd(grid.values, grid.knots, pt, icols=(icol,))[0, 0] - val
+        return interp_nd(
+            grid.values, grid.knots, pt, icols=(icol,), axis_maps=grid.axis_maps
+        )[0, 0] - val
 
     return _find_closest_fn(f, lo, hi, bisect_tol=bisect_tol, newton_tol=newton_tol, max_iter=max_iter)
 
@@ -99,7 +114,9 @@ def find_closest_grid_batch(
     def solve(val, lo, hi, v1, v2):
         def f(x):
             pt = jnp.stack([jnp.asarray(v1, x.dtype), jnp.asarray(v2, x.dtype), x])[None]
-            return interp_nd(grid.values, grid.knots, pt, icols=(icol,))[0, 0] - val
+            return interp_nd(
+                grid.values, grid.knots, pt, icols=(icol,), axis_maps=grid.axis_maps
+            )[0, 0] - val
 
         return _find_closest_fn(f, lo, hi, bisect_tol=bisect_tol, newton_tol=newton_tol, max_iter=max_iter)
 
