@@ -116,7 +116,10 @@ def _interp_values(xs, grid, icols, iis):
     knots = tuple(np.asarray(ii, dtype=float) for ii in iis)
     bcast = np.broadcast(*xs)
     pts = np.stack(
-        [np.resize(np.asarray(x, dtype=float), bcast.shape).ravel() for x in xs], axis=-1
+        # broadcast_to, NOT resize: resize fills cyclically, silently wrong
+        # for genuinely 2-d broadcast shapes like (3,1) x (1,4) (ADVICE r2)
+        [np.broadcast_to(np.asarray(x, dtype=float), bcast.shape).ravel() for x in xs],
+        axis=-1,
     )
     out = interp_nd(
         jnp.asarray(grid),

@@ -220,8 +220,16 @@ class GaussianPrior(BoundedPrior):
         """(Re)build the truncation — assigning ``.bounds`` after
         construction must re-truncate, not keep the old normalization."""
         bounds = self._bounds
-        if bounds and np.all(np.isfinite(bounds)):
+        if bounds is not None:
             lo, hi = bounds
+            lo = -np.inf if lo is None else float(lo)
+            hi = np.inf if hi is None else float(hi)
+        else:
+            lo, hi = -np.inf, np.inf
+        if np.isfinite(lo) or np.isfinite(hi):
+            # truncate whenever ANY bound is finite: scipy truncnorm handles
+            # one-sided (+-inf) endpoints, and skipping truncation for e.g.
+            # (0, inf) silently under-normalizes the pdf (ADVICE r2)
             from scipy.stats import norm as _norm, truncnorm
 
             a, b = (lo - self.mean) / self.sigma, (hi - self.mean) / self.sigma

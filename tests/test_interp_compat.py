@@ -109,6 +109,23 @@ def test_find_closest3(rng):
     assert abs(got - target_x) < 0.02
 
 
+def test_interp_values_true_broadcast(rng):
+    """Genuinely 2-d broadcast inputs — (3,1) x (1,4) — must interpolate at
+    the broadcasted point pairs, not cyclically repeated ones (ADVICE r2:
+    np.resize filled cyclically)."""
+    n0, n1 = 5, 7
+    ii0 = np.sort(rng.uniform(0, 1, n0))
+    ii1 = np.sort(rng.uniform(0, 1, n1))
+    grid = rng.normal(size=(n0, n1, 2))
+    icols = np.array([1])
+    x0 = rng.uniform(0.1, 0.9, (3, 1))
+    x1 = rng.uniform(0.1, 0.9, (1, 4))
+    got = compat.interp_values_2d(x0, x1, grid, icols, ii0, ii1)
+    x0f, x1f = np.broadcast_arrays(x0, x1)
+    ref = compat.interp_values_2d(x0f.ravel(), x1f.ravel(), grid, icols, ii0, ii1)
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
 def test_sign():
     assert compat.sign(-3.0) == -1
     assert compat.sign(2.0) == 1

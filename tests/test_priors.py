@@ -146,6 +146,25 @@ def test_gaussian_bounds_setter_retruncates():
     assert np.all((x >= -1) & (x <= 1))
 
 
+def test_gaussian_half_infinite_bounds_truncate():
+    """One-sided bounds must still renormalize (ADVICE r2): scipy truncnorm
+    handles +-inf endpoints, so (0, inf) halves the support and doubles the
+    density — skipping truncation under-normalizes by 1/(Phi(b)-Phi(a))."""
+    from scipy.stats import norm
+
+    g = GaussianPrior(0.0, 1.0, bounds=(0.0, np.inf))
+    g.test_integral()
+    np.testing.assert_allclose(g.pdf(1.0), 2.0 * norm.pdf(1.0), rtol=1e-10)
+    assert g.pdf(-0.5) == 0.0
+    assert (g.sample(1000, rng=np.random.default_rng(0)) >= 0).all()
+    # assigning half-infinite bounds via the setter must not raise and must
+    # re-truncate (the reference accepts these through truncnorm directly)
+    h = GaussianPrior(0.0, 1.0)
+    h.bounds = (0.0, np.inf)
+    h.test_integral()
+    np.testing.assert_allclose(h.pdf(1.0), 2.0 * norm.pdf(1.0), rtol=1e-10)
+
+
 def test_eep_prior_sample_respects_row_conditioning():
     """Vector age/feh: each row's EEP must come from its OWN conditional
     (regression: one global categorical detached EEPs from their rows)."""
