@@ -240,6 +240,7 @@ class BatchStarFitter:
         dlogz=0.01,
         min_ess=100.0,
         seed=None,
+        mesh=None,
     ):
         """Per-star nested sampling for the WHOLE catalog, vmapped across the
         star axis — every chunk of shrinkage iterations is one XLA program
@@ -247,10 +248,15 @@ class BatchStarFitter:
         SLURM-array-of-MultiNest-runs collapsed onto one chip). Returns a
         dict with per-star ``logz``/``logzerr``/``ess`` arrays and sets
         ``self.samples`` to (S, n_equal, 5) equal-weight posterior draws.
+
+        mesh : optional ``jax.sharding.Mesh`` — shards the star axis over the
+        mesh's first axis (the reference's SLURM-array role over chips,
+        scripts/batch_starfit): each device advances its block of stars'
+        live sets with zero communication, so sharded == unsharded exactly.
         """
         from functools import partial as _partial
 
-        from .samplers.nested import _assemble_weights, _nested_core
+        from .samplers.nested import _assemble_weights, _mesh_constrain_leading, _nested_core
 
         S, n_live = self.n_stars, int(n_live_points)
         n_batch = max(1, min(int(n_batch), n_live // 4))
@@ -274,6 +280,11 @@ class BatchStarFitter:
 
         @_partial(jax.jit, static_argnames=("n_steps",))
         def batch_core(data, his, u0, lnl0, keys, scales, n_steps):
+            if mesh is not None:
+                data, his, u0, lnl0, keys, scales = _mesh_constrain_leading(
+                    (data, his, u0, lnl0, keys, scales), mesh
+                )
+
             def one(data_s, hi, u0s, lnl0s, key, scale):
                 def lnlike_u(u):
                     return star_lnlike(data_s, hi, u)
@@ -283,7 +294,10 @@ class BatchStarFitter:
                     n_chains, n_repeat, n_batch=n_batch,
                 )
 
-            return jax.vmap(one)(data, his, u0, lnl0, keys, scales)
+            out = jax.vmap(one)(data, his, u0, lnl0, keys, scales)
+            if mesh is not None:
+                out = _mesh_constrain_leading(out, mesh)
+            return out
 
         # ---- initialize live points (full-batch resample of -inf starts)
         u0 = rng.random((S, n_live, 5))

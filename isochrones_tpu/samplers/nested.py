@@ -127,6 +127,47 @@ class _RunningEvidence:
         return self.log_s1, ess
 
 
+def _mesh_wrap_lnlike(lnlike_u, mesh):
+    """Shard an NS likelihood fan-out's batch axis over ``mesh``'s first axis
+    — the role MPI rank-parallel likelihood evaluation plays for MultiNest
+    (reference starmodel.py:755-797). The likelihood is elementwise over the
+    batch, so the sharded program computes identical per-point values; XLA
+    inserts the (tiny) all-gather of the (B,) result over ICI. Non-divisible
+    batch sizes are fine: GSPMD pads internally."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ax = mesh.axis_names[0]
+    in_s = NamedSharding(mesh, P(ax, None))
+    out_s = NamedSharding(mesh, P(ax))
+
+    def wrapped(u):
+        if not isinstance(u, jax.core.Tracer):
+            # eager call (live-point init): constraints only apply under jit
+            # (eagerly they'd be a device_put requiring divisible batches)
+            return lnlike_u(u)
+        u = jax.lax.with_sharding_constraint(u, in_s)
+        out = lnlike_u(u)
+        return jax.lax.with_sharding_constraint(out, out_s)
+
+    return wrapped
+
+
+def _mesh_constrain_leading(tree, mesh):
+    """Constrain every array in ``tree`` to shard its LEADING axis over
+    ``mesh``'s first axis (used for the independent-runs / stars axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ax = mesh.axis_names[0]
+
+    def one(x):
+        if x is None:
+            return None
+        spec = P(ax, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(one, tree, is_leaf=lambda x: x is None)
+
+
 def _live_cholesky(live_u, jitter=1e-12):
     """Cholesky factor of the live-point covariance (+ jitter) — whitens walk
     proposals so correlated/ridge-shaped constrained regions (e.g. the
@@ -251,6 +292,7 @@ def run_nested(
     on_low_ess: str = "extend",
     core: Callable = None,
     n_runs: int = 1,
+    mesh=None,
 ) -> NestedResult:
     """Nested-sampling fit.
 
@@ -284,6 +326,14 @@ def run_nested(
         extra variance from finitely-correlated MCMC replacement chains.
         The posterior concatenates Z-weighted equal-weight draws from every
         run. Per-run evidences are returned in ``result.logz_runs``.
+    mesh : optional ``jax.sharding.Mesh`` — shards the NS likelihood fan-out
+        across devices (the role MPI plays for MultiNest, reference
+        starmodel.py:755-797). With ``n_runs > 1`` the independent runs shard
+        over the mesh's first axis (zero-communication SPMD: each chip
+        advances its block of runs; results are bitwise-identical to the
+        unsharded program for the same seeds). With a single run, the
+        constrained-walk chain batch shards instead (elementwise over the
+        batch -> identical values, an all-gather of the (B,) lnl per step).
     """
     if n_runs > 1:
         return _run_nested_multi(
@@ -291,12 +341,16 @@ def run_nested(
             max_iter=max_iter, n_chains=n_chains, n_repeat=n_repeat,
             n_equal=n_equal, dlogz=dlogz, n_batch=n_batch, rng=rng,
             min_ess=min_ess, on_low_ess=on_low_ess, core=core, n_runs=n_runs,
+            mesh=mesh,
         )
     hard_cap = max_iter if max_iter is not None else 1000 * n_live
     n_batch = max(1, min(int(n_batch), n_live // 4))
 
     def lnlike_u(u):
         return lnpost_u(prior_transform(u))
+
+    if mesh is not None:
+        lnlike_u = _mesh_wrap_lnlike(lnlike_u, mesh)
 
     rng = np.random.default_rng(rng)
     key = jax.random.PRNGKey(int(rng.integers(2 ** 31))) if key is None else key
@@ -411,6 +465,7 @@ def run_nested(
 def _run_nested_multi(
     lnpost_u, prior_transform, n_params, key, *, n_live, max_iter, n_chains,
     n_repeat, n_equal, dlogz, n_batch, rng, min_ess, on_low_ess, core, n_runs,
+    mesh=None,
 ):
     """``n_runs`` independent NS runs advanced in lockstep by one vmapped XLA
     program per chunk (see :func:`run_nested`'s ``n_runs`` docs). Each run has
@@ -450,13 +505,24 @@ def _run_nested_multi(
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def vcore(u, lnl, ks, scales, n_steps):
+        if mesh is not None:
+            # runs shard over the mesh: each device advances its block of
+            # independent live sets with zero communication — the per-run
+            # program is unchanged, so sharded == unsharded bitwise
+            u, lnl, ks, scales = _mesh_constrain_leading(
+                (u, lnl, ks, scales), mesh
+            )
+
         def one(u_r, lnl_r, k_r, s_r):
             return core_fn(
                 lnlike_u, u_r, lnl_r, k_r, s_r, n_live, n_steps,
                 n_chains, n_repeat, n_batch=n_batch,
             )
 
-        return jax.vmap(one)(u, lnl, ks, scales)
+        out = jax.vmap(one)(u, lnl, ks, scales)
+        if mesh is not None:
+            out = _mesh_constrain_leading(out, mesh)
+        return out
 
     live_u = jnp.asarray(u0)
     live_lnl = jnp.asarray(lnl0)

