@@ -124,3 +124,52 @@ def test_batch_nested_evidence_and_recovery(setup):
     # scatter (~0.7 nat measured over seeds: MCMC replacement chains are
     # finitely correlated); tolerance reflects the measured 3-sigma spread
     assert abs(res["logz"][0] - r0["logz"][0]) < 2.2
+
+
+# ------------------------------------------------------------ native summary
+def test_summarize_batch_native(setup):
+    """Catalog-native summary (summary.py rewrite): one quantile pass over
+    the fitter's (S, N, 5) draws + one batched derived dispatch — no
+    per-folder HDF reload. NaN-draw stars surface as NaN rows, evidence
+    columns appear when present."""
+    from isochrones_tpu.summary import quantile_frame, summarize_batch
+
+    iso, cat, truths = setup
+    fitter = BatchStarFitter(iso, cat)
+    S = fitter.n_stars
+    rng = np.random.default_rng(5)
+    # synthetic posterior draws centered on truth (no fit needed for the
+    # summary machinery itself)
+    centers = np.stack(
+        [truths.eep.values, truths.age.values, truths.feh.values,
+         truths.distance.values, truths.AV.values], axis=-1
+    )
+    draws = centers[:, None, :] + rng.normal(
+        0, [1.0, 0.02, 0.02, 2.0, 0.01], size=(S, 400, 5)
+    )
+    draws[:, :, 4] = np.abs(draws[:, :, 4])
+    fitter._samples = draws
+    fitter._evidence = (np.full(S, -30.0), np.full(S, 0.3))
+
+    df = summarize_batch(fitter, qs=(0.16, 0.5, 0.84))
+    assert len(df) == S
+    # fit-param quantiles ordered and near truth
+    assert (df["eep_16"] <= df["eep_50"]).all() and (df["eep_50"] <= df["eep_84"]).all()
+    np.testing.assert_allclose(df["age_50"], truths.age, atol=0.02)
+    # derived physical columns present from the single batched dispatch
+    for c in ("mass_50", "radius_50"):
+        assert c in df.columns, df.columns.tolist()
+        assert np.isfinite(df[c]).all()
+    assert (df["logz"] == -30.0).all()
+
+    # NaN star (zero posterior support, batch.py fit_multinest convention)
+    draws_nan = draws.copy()
+    draws_nan[2] = np.nan
+    fitter._samples = draws_nan
+    df2 = summarize_batch(fitter, qs=(0.16, 0.5, 0.84))
+    assert np.isnan(df2.loc[df2.index[2], "mass_50"])
+    assert np.isfinite(df2["mass_50"].drop(df2.index[2])).all()
+
+    # core helper: 2-d input + explicit index
+    qf = quantile_frame(draws[:, :, 0], "eep", qs=(0.5,), index=cat.df.index)
+    np.testing.assert_allclose(qf["eep_50"], df["eep_50"], rtol=1e-12)

@@ -178,6 +178,75 @@ def test_ini_relative_companions(iso):
     assert np.isfinite(m.lnpost(p))
 
 
+def _host_tree_lnlike(m, p):
+    """Host-side per-node tree walk at parameter vector ``p`` (the
+    test_tree_batch_matches_host pattern)."""
+    pardict = m.obs.p2pardict(p)
+    model_values = {}
+    for star, pars in pardict.items():
+        T, g, f, mg = m.ic.interp_mag(pars, m.bands)
+        vals = {"Teff": T, "logg": g, "feh": f}
+        vals.update({b: float(v) for b, v in zip(m.bands, mg)})
+        model_values[star] = vals
+    return m.obs.lnlike(pardict, model_values)
+
+
+def test_ini_band_asymmetric_companions(iso):
+    """star4: companion 1 in H+K, companion 2 in H ONLY (band-asymmetric
+    relative photometry, reference tests/star4 + observation.py:464-491).
+    Covers the relative-referencing branch where companions differ in band
+    coverage — host per-node walk must equal the compiled batched plan."""
+    m = StarModel.from_ini(iso, folder=os.path.join(FIXTURES, "star4"))
+    # primary + 2 companions, one system
+    assert m.obs.systems == [0]
+    assert m.obs.Nstars == {0: 3}
+    assert m.n_params == 7
+    # companion 2's H row is relative; it has NO K counterpart
+    rel_nodes = [n for n in m.obs.get_obs_nodes() if n.relative]
+    rel_by_band = {}
+    for n in rel_nodes:
+        rel_by_band.setdefault(n.band, []).append(n)
+    assert len(rel_by_band.get("H", [])) > len(rel_by_band.get("K", [])), (
+        "fixture must be band-asymmetric: more relative H rows than K"
+    )
+    # mass pars -> EEP conversion, finite lnlike (reference TripleCheck)
+    pars = [1.2, 1.0, 0.8, 9.0, 0.0, 100.0, 0.1]
+    eep_pars = m.convert_pars_to_eep(pars)
+    assert len(eep_pars) == m.n_params
+    assert np.isfinite(m.lnlike(eep_pars))
+    # host-vs-batched equality on the asymmetric-coverage branch
+    rng = np.random.default_rng(4)
+    for _ in range(5):
+        p = [
+            65.0 + rng.normal(0, 3), 50.0 + rng.normal(0, 3), 40.0 + rng.normal(0, 3),
+            9.0 + rng.normal(0, 0.05), rng.normal(0, 0.1),
+            100.0 + rng.normal(0, 5), abs(rng.normal(0.1, 0.05)),
+        ]
+        host = _host_tree_lnlike(m, p)
+        batched = m.lnlike(p)
+        assert np.isclose(host, batched, atol=1e-8), (host, batched)
+
+
+def test_ini_band_asymmetric_unassoc_variants(iso):
+    """star4 with unassociated-companion index splits (reference
+    TripleCheck_Unassoc1/2): systems/Nstars/n_params bookkeeping and finite
+    host==batched lnlike for each association pattern."""
+    for index, systems, Nstars, p in [
+        ([0, 0, 1], [0, 1], {0: 2, 1: 1},
+         [65.0, 50.0, 9.0, 0.0, 100.0, 0.1, 60.0, 9.2, 0.0, 300.0, 0.2]),
+        ([0, 1, 1], [0, 1], {0: 1, 1: 2},
+         [65.0, 9.0, 0.0, 100.0, 0.1, 60.0, 45.0, 9.2, 0.0, 300.0, 0.2]),
+    ]:
+        m = StarModel.from_ini(iso, folder=os.path.join(FIXTURES, "star4"), index=index)
+        assert m.obs.systems == systems
+        assert m.obs.Nstars == Nstars
+        assert m.n_params == 11
+        host = _host_tree_lnlike(m, p)
+        batched = m.lnlike(p)
+        assert np.isfinite(batched)
+        assert np.isclose(host, batched, atol=1e-8), (index, host, batched)
+
+
 @pytest.mark.slow
 def test_ini_prior_samples_finite(iso):
     m = StarModel.from_ini(iso, folder=os.path.join(FIXTURES, "star1"))
