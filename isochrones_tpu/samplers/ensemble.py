@@ -7,12 +7,14 @@ runs inside one ``lax.scan`` on device, with the log-posterior vmapped across
 walkers. A whole fit never leaves the chip.
 
 Moves: Goodman & Weare (2010) stretch, differential evolution (ter Braak
-2006), and DE-snooker (ter Braak & Vrugt 2008). ``moves="mixed"`` uses the
-reference harness's 0.4/0.4/0.2 mixture weights (fit.py:91-96 mixes
-KDE/DE/DESnooker 0.4/0.4/0.2; the KDE slot is filled by the stretch move,
-whose complementary-ensemble geometry plays the same global-proposal role
-without the O(n²) kernel-density evaluation). Each full-ensemble update
-draws one move for both half-updates via ``lax.switch``.
+2006), DE-snooker (ter Braak & Vrugt 2008), and a Gaussian-KDE move
+(emcee's ``KDEMove``: propose from a kernel-density estimate of the
+complementary half). ``moves="mixed"`` is the reference harness's actual
+mixture — KDE/DE/DESnooker at 0.4/0.4/0.2 (fit.py:110-120). The KDE
+density evaluation is an O(half²) pairwise matrix — a trivially
+XLA-friendly batched quadratic form, unlike the scipy loop the reference
+delegates to. Each full-ensemble update draws one move for both
+half-updates via ``lax.switch``.
 
 Multi-chip: walkers shard trivially along the batch axis (see
 ``isochrones_tpu.parallel``); the stretch move only needs the complementary
@@ -121,12 +123,51 @@ def _snooker_half(lnpost_v, active, passive, lnp_active, key, gammas=1.7):
     return _mh_accept(k_acc, active, lnp_active, proposal, lnp_prop, ln_factor)
 
 
-# mixture weights per `moves` mode: (stretch, de, snooker)
+def _kde_half(lnpost_v, active, passive, lnp_active, key):
+    """Gaussian-KDE move (emcee ``KDEMove``; the reference harness's KDE
+    slot, fit.py:110-120): propose x' = passive[i] + bandwidth-scaled
+    Gaussian noise (scipy ``gaussian_kde`` Scott's-rule kernel over the
+    complementary half), accepted with the independence-sampler ratio
+    q(x)/q(x') where q is the KDE density itself. Both density evaluations
+    are one (n_act, n_pas) batched Mahalanobis matrix + logsumexp — XLA
+    fuses it; no scipy loop."""
+    n_act, n_dim = active.shape
+    n_pas = passive.shape[0]
+    k_pick, k_eps, k_acc = jax.random.split(key, 3)
+
+    mu = jnp.mean(passive, axis=0)
+    c = passive - mu
+    # scipy.gaussian_kde: kernel cov = scott_factor^2 * sample cov (ddof=1)
+    cov = (c.T @ c) / (n_pas - 1)
+    h = float(n_pas) ** (-1.0 / (n_dim + 4))  # Scott's rule
+    kcov = (h * h) * cov + 1e-12 * jnp.eye(n_dim, dtype=active.dtype)
+    L = jnp.linalg.cholesky(kcov)
+
+    picks = jax.random.randint(k_pick, (n_act,), 0, n_pas)
+    eps = jax.random.normal(k_eps, active.shape, dtype=active.dtype)
+    proposal = passive[picks] + eps @ L.T
+
+    def ln_kde(x):
+        # (n, d) -> (n,): logsumexp of kernel densities over passive points.
+        # Constants (normalization, -log n_pas) cancel in the MH ratio.
+        d = x[:, None, :] - passive[None, :, :]  # (n, n_pas, dim)
+        y = jax.scipy.linalg.solve_triangular(L, d.reshape(-1, n_dim).T, lower=True)
+        maha = jnp.sum(y * y, axis=0).reshape(x.shape[0], n_pas)
+        return jax.scipy.special.logsumexp(-0.5 * maha, axis=1)
+
+    # independence sampler: ln alpha = [lnp(x') - ln q(x')] - [lnp(x) - ln q(x)]
+    ln_factor = ln_kde(active) - ln_kde(proposal)
+    lnp_prop = lnpost_v(proposal)
+    return _mh_accept(k_acc, active, lnp_active, proposal, lnp_prop, ln_factor)
+
+
+# mixture weights per `moves` mode: (stretch, de, snooker, kde)
 _MOVE_WEIGHTS = {
-    "stretch": (1.0, 0.0, 0.0),
-    "de": (0.0, 1.0, 0.0),
-    "snooker": (0.0, 0.0, 1.0),
-    "mixed": (0.4, 0.4, 0.2),  # reference fit.py:91-96 mixture weights
+    "stretch": (1.0, 0.0, 0.0, 0.0),
+    "de": (0.0, 1.0, 0.0, 0.0),
+    "snooker": (0.0, 0.0, 1.0, 0.0),
+    "kde": (0.0, 0.0, 0.0, 1.0),
+    "mixed": (0.0, 0.4, 0.2, 0.4),  # reference fit.py:110-120: KDE/DE/snooker .4/.4/.2
 }
 
 
@@ -164,17 +205,18 @@ def run_ensemble(
         lambda act, pas, lnp, k: _stretch_half(lnpost_v, act, pas, lnp, k, a=a),
         lambda act, pas, lnp, k: _de_half(lnpost_v, act, pas, lnp, k),
         lambda act, pas, lnp, k: _snooker_half(lnpost_v, act, pas, lnp, k),
+        lambda act, pas, lnp, k: _kde_half(lnpost_v, act, pas, lnp, k),
     ]
 
     def update_half(move_idx, active, passive, lnp_active, k):
-        if moves in ("stretch", "de", "snooker"):  # static: no switch needed
-            idx = {"stretch": 0, "de": 1, "snooker": 2}[moves]
+        if moves in ("stretch", "de", "snooker", "kde"):  # static: no switch
+            idx = {"stretch": 0, "de": 1, "snooker": 2, "kde": 3}[moves]
             return branches[idx](active, passive, lnp_active, k)
         return jax.lax.switch(move_idx, branches, active, passive, lnp_active, k)
 
     def one_step(state: EnsembleState, _):
         key, k_move, k1, k2 = jax.random.split(state.key, 4)
-        move_idx = jax.random.choice(k_move, 3, p=weights)
+        move_idx = jax.random.choice(k_move, 4, p=weights)
         w = state.walkers
         lnp = state.ln_prob
         first, second = w[:half], w[half:]

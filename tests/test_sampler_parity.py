@@ -118,20 +118,48 @@ def _assert_quantile_parity(fits, param_names, ref="nested", tol=TOL_SIGMA):
 def test_single_star_cross_engine_quantiles(single_fits):
     m, fits = single_fits
     _assert_quantile_parity({k: v for k, v in fits.items() if k != "nuts"}, m.param_names)
-    # NUTS gets a looser bar: the posterior is a CURVED eep-age-feh ridge
-    # over a piecewise-LINEAR surface (gradient kinks at every grid cell) —
-    # even with the dense whitened metric, the logit bounds
-    # reparametrization, and target_accept=0.9, NUTS retains a stable
-    # ~0.6-0.8 sigma tightening of the A_V tails at any tested budget (the
-    # leapfrog energy error concentrates where the ridge bends near the
-    # A_V >= 0 bound; observed 0.79 sigma on the 16% quantile with the
-    # corrected per-row prior warmstart draws). Wrong-posterior bugs show
-    # up at multiple sigma, which this still catches. (The nested result
-    # itself is validated against a long-MCMC gold standard: 512 walkers x
-    # 5000 burn agree to <0.1 sigma; docs/samplers.md records the engine
-    # guidance.)
+    # NUTS gets a looser bar, now PINNED by the round-3 experiment
+    # (docs/samplers.md "The NUTS A_V-tail artifact, pinned"): NUTS retains
+    # a stable ~0.6-0.8 sigma tightening of the A_V tails (plus sympathetic
+    # feh-tail narrowing) ONLY when the posterior mass piles against the
+    # A_V >= 0 bound. target_accept=0.98 leaves it unchanged (0.85 vs 0.82
+    # sigma — refuting the earlier leapfrog-energy-error hypothesis), while
+    # moving the bounds away (truth A_V=1.5 in (0,3)) restores the shared
+    # 0.35-sigma bar (asserted by test_nuts_bound_moved below). Cause:
+    # fixed-metric under-exploration of the boundary-compressed tail in
+    # logit space — a funnel-like geometry a warmup-estimated dense metric
+    # cannot match in both bulk and tail, step-size independent. Wrong-
+    # posterior bugs still show up at multiple sigma, which 0.9 catches.
+    # (The nested result itself is validated against a long-MCMC gold
+    # standard: 512 walkers x 5000 burn agree to <0.1 sigma.)
     _assert_quantile_parity(
         {k: fits[k] for k in ("nested", "nuts")}, m.param_names, tol=0.9
+    )
+
+
+def test_nuts_bound_moved_matches_shared_tolerance(iso):
+    """Pinning control for the A_V-tail carve-out: same model geometry with
+    the A_V posterior mass moved AWAY from the prior bound (truth 1.5 in a
+    flat (0,3) prior) — the A_V and feh tails must then meet the SHARED
+    0.35-sigma bar, proving the 0.9-sigma carve-out is bound-local, not a
+    general NUTS posterior error."""
+    from isochrones_tpu.priors import FlatPrior
+
+    truth = [60.0, 9.0, 0.0, 200.0, 1.5]
+    m = SingleStarModel(iso, name="pin-bound-moved", maxAV=3.0,
+                        **_measurements(iso, truth))
+    m.set_prior(AV=FlatPrior((0.0, 3.0)))
+    m.fit_multinest(n_live_points=500, seed=10)
+    ns = m.samples.copy()
+    m.fit_nuts(n_chains=16, n_warmup=1500, n_samples=3000, seed=22)
+    nuts = m.samples.copy()
+    # the artifact parameters (A_V, feh) meet the shared bar; the remaining
+    # params are held to a mildly looser 0.6 sigma — at this budget NUTS
+    # chain autocorrelation along the piecewise-linear eep-age ridge leaves
+    # ~0.5 sigma quantile wobble (measured 0.38-0.51), unrelated to bounds
+    _assert_quantile_parity({"nested": ns, "nuts": nuts}, ("AV", "feh"), tol=TOL_SIGMA)
+    _assert_quantile_parity(
+        {"nested": ns, "nuts": nuts}, ("eep", "age", "distance"), tol=0.6
     )
 
 
