@@ -607,6 +607,47 @@ class ModelGridInterpolator:
             return {c: df[c].values for c in df.columns}
         return df
 
+    def generate_device(
+        self, mass, age, feh, props="all", bands=None, distance=10.0, AV=0.0,
+        accurate=False,
+    ):
+        """Device-resident forward model: the same fused single-dispatch
+        program as :meth:`generate` (EEP inversion + property interp + mag
+        composition), but returning JAX device arrays ``(eeps, values,
+        mags)`` WITHOUT host readback. For device-resident consumers
+        (population pipelines, samplers) and for measuring the kernel free
+        of the host link — over a remote-TPU tunnel the readback dominates
+        :meth:`generate`'s wall-clock and hides device-side regressions."""
+        import jax.numpy as jnp
+
+        if self.eep_replaces == "mass":
+            return self.track.generate_device(
+                mass, age, feh, props=props, bands=bands, distance=distance,
+                AV=AV, accurate=accurate,
+            )
+        if self.eep_support is None:
+            raise NotImplementedError("generate_device needs baked EEP support arrays")
+        bands = self.bands if bands is None else list(bands)
+        b = np.broadcast(*[np.asarray(x, dtype=float) for x in (mass, age, feh, distance, AV)])
+        shape = b.shape if b.ndim else (1,)
+        mass_, age_, feh_, dist_, av_ = (
+            np.broadcast_to(np.asarray(x, dtype=float), shape).reshape(-1)
+            for x in (mass, age, feh, distance, AV)
+        )
+        prop_names = list(self.model.columns) if props == "all" else list(props)
+        feh_knots, mass_knots, age_arrays, lengths = self.eep_support
+        eep0 = float(np.asarray(self.model.knots[-1])[0])
+        i_age = self.model.column_index["age"]
+        pts = jnp.asarray(np.stack([mass_, age_, feh_, dist_, av_], axis=-1))
+        return _generate_g(
+            self.model, self.model_packed, self.bc,
+            feh_knots, mass_knots, age_arrays, lengths,
+            pts[:, :3], pts[:, 3], pts[:, 4],
+            self.model.icols(prop_names), self._packed_icols,
+            tuple(self.bc.column_index[b_] for b_ in bands),
+            self._param_index_order, eep0, False, bool(accurate), i_age, 0.02,
+        )
+
     def generate_binary(self, mass_A, mass_B, age, feh, **kwargs):
         """reference: models.py:633-661 — but both components run in ONE
         device program (a stacked 2N-row batch) instead of the reference's

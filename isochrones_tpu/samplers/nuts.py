@@ -221,8 +221,8 @@ def _make_kernel(logp, dim, max_depth):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("logp_batch", "dim", "n_warmup", "n_samples", "max_depth", "target_accept"))
-def _nuts_run(logp_batch, x0, key, dim, n_warmup, n_samples, max_depth, target_accept, inv_mass0=None):
+@partial(jax.jit, static_argnames=("logp_batch", "dim", "n_warmup", "n_samples", "max_depth", "target_accept", "mesh"))
+def _nuts_run(logp_batch, x0, key, dim, n_warmup, n_samples, max_depth, target_accept, inv_mass0=None, mesh=None):
     n_chains = x0.shape[0]
 
     def logp_single(z):
@@ -231,6 +231,28 @@ def _nuts_run(logp_batch, x0, key, dim, n_warmup, n_samples, max_depth, target_a
     kernel = _make_kernel(logp_single, dim, max_depth)
     kernel_v = jax.vmap(kernel, in_axes=(0, 0, 0, 0, 0, 0))
     vg = jax.vmap(_safe_value_and_grad(logp_single))
+
+    if mesh is not None:
+        # chains shard over the mesh's first axis: each device advances its
+        # block of independent chains (vmapped while_loops run lockstep only
+        # within a shard). The pooled warmup variance (m2.mean over chains)
+        # becomes a small XLA collective, so sharded != unsharded bitwise —
+        # statistical equivalence is the contract (test_parallel).
+        from .nested import _mesh_constrain_leading
+
+        kernel_inner = kernel_v
+
+        def kernel_v(*args):  # noqa: F811 — deliberate shadowing
+            args = _mesh_constrain_leading(args, mesh)
+            return _mesh_constrain_leading(kernel_inner(*args), mesh)
+
+        vg_inner = vg
+
+        def vg(z):  # noqa: F811
+            if not isinstance(z, jax.core.Tracer):
+                return vg_inner(z)  # eager init call: constraints need jit
+            (z,) = _mesh_constrain_leading((z,), mesh)
+            return _mesh_constrain_leading(vg_inner(z), mesh)
 
     lnp0, g0 = vg(x0)
 
@@ -323,6 +345,7 @@ def run_nuts(
     ensemble_init: int = 0,
     n_chains: int = None,
     bounds=None,
+    mesh=None,
 ) -> NutsResult:
     """Multi-chain NUTS.
 
@@ -341,6 +364,9 @@ def run_nuts(
         parameters, with the log-Jacobian added to the target): hard box
         walls (-inf outside) otherwise shed divergences and leave
         boundary-hugging marginals (e.g. A_V near 0) underdispersed.
+    mesh : optional ``jax.sharding.Mesh`` — shards the chain axis across
+        devices (each chip advances its block of independent chains; only
+        the pooled warmup variance crosses the mesh).
     """
     x0 = jnp.asarray(x0)
     to_z = logjac = None
@@ -420,6 +446,7 @@ def run_nuts(
     chain, lnp_chain, eps, inv_mass, acc, ndiv = _nuts_run(
         logp_run, x0_run, key, x0.shape[-1], int(n_warmup), int(n_samples),
         int(max_depth), float(target_accept), inv_mass0=inv_mass_run,
+        mesh=mesh,
     )
     if W is not None:
         chain = mu[None, None, :] + jnp.einsum("scd,ed->sce", chain, W)

@@ -670,6 +670,7 @@ class BasicStarModel:
         max_depth=8,
         target_accept=0.9,
         seed=None,
+        mesh=None,
     ):
         """On-device No-U-Turn sampling of the posterior (the SURVEY §7
         build-plan NUTS stage). The fused lnpost is differentiable (grid
@@ -692,6 +693,7 @@ class BasicStarModel:
             n_warmup=n_warmup, n_samples=n_samples, max_depth=max_depth,
             target_accept=target_accept, ensemble_init=500, n_chains=n_chains,
             bounds=np.stack([np.asarray(los, dtype=float), np.asarray(his, dtype=float)], axis=-1),
+            mesh=mesh,
         )
         import pandas as pd
 

@@ -121,6 +121,34 @@ def test_sharded_batch_fitter_matches_unsharded(model):
     np.testing.assert_array_equal(f_shard.samples, f_plain.samples)
 
 
+@pytest.mark.slow
+def test_sharded_nuts_statistical_equivalence():
+    """NUTS chains shard over the mesh (one block of independent chains per
+    device). The pooled warmup variance crosses the mesh, so bitwise equality
+    is not the contract — both runs must sample the same correlated Gaussian
+    correctly."""
+    import jax.numpy as jnp
+
+    from isochrones_tpu.samplers.nuts import run_nuts
+
+    rho = 0.8
+    cov = np.array([[1.0, rho], [rho, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def lnpost_v(x):
+        return -0.5 * jnp.einsum("bi,ij,bj->b", x, prec, x)
+
+    key = jax.random.PRNGKey(0)
+    x0 = 0.5 * jax.random.normal(key, (16, 2))
+    mesh = default_mesh(8, axis_names=("chains",))
+    for m in (None, mesh):
+        res = run_nuts(lnpost_v, x0, key, n_warmup=400, n_samples=600, mesh=m)
+        flat = res.samples.reshape(-1, 2)
+        np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=0.12)
+        np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.2)
+        assert (res.accept_rate > 0.5).all()
+
+
 def test_replicate(model):
     mesh = default_mesh(8)
     rep = replicate(model.ic.model, mesh)
