@@ -68,6 +68,7 @@ class StarClusterModel(BasicStarModel):
         minq=0.1,
         directory=".",
         mesh=None,
+        q_jacobian=False,
         **kwargs,
     ):
         self._jit_cache: Dict[str, object] = {}
@@ -76,6 +77,13 @@ class StarClusterModel(BasicStarModel):
         #: (each chip owns a block of stars' (Neep, Neep) grids; the total
         #: lnlike is a psum of scalars over ICI). SURVEY §2.8/§5 sharding axis.
         self.mesh = mesh
+        #: False = exact reference-parity marginalization (the reference
+        #: omits the |dq/deep2| change-of-variables factor on the mass-ratio
+        #: prior, cluster_utils.py:101 — measured to bias fitted fB ~0.3 ->
+        #: ~0.5 against q-space simulations). True = corrected generative
+        #: density (see ops/cluster.py calc_lnlike_grid; cluster mini-SBC
+        #: validates this mode).
+        self.q_jacobian = bool(q_jacobian)
         if not isinstance(stars, StarCatalog):
             stars = StarCatalog(stars, **kwargs)
         self.stars = stars
@@ -267,7 +275,7 @@ class StarClusterModel(BasicStarModel):
             lnmarg = cluster_lnmarginal(
                 lnlike_prop, jnp.where(valid[:, None], model_mags, 0.0), masses_safe,
                 ln_dm_safe, eeps, mv, mu, alpha, gamma, fB, mass_lo, mass_hi, minq,
-                valid=valid,
+                valid=valid, q_jacobian=self.q_jacobian,
             )  # (S_block,) — pallas kernel on TPU, XLA grid path elsewhere
             ok = w > 0
             good = jnp.isfinite(lnmarg)

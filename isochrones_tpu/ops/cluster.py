@@ -56,6 +56,7 @@ def calc_lnlike_grid(
     mass_hi,
     q_lo,
     valid=None,  # (Neep,) bool: rows with finite model values
+    q_jacobian=False,
 ):
     """Lower-triangular (Nstars, Neep, Neep) grid of
     lnlike(photometry mixture) + lnlike(primary mass) + lnlike(mass ratio)
@@ -65,6 +66,16 @@ def calc_lnlike_grid(
     ``fB`` is the binary fraction: each star's photometric likelihood is the
     ``fB``-weighted logaddexp mixture of the binary (flux sum of j,k) and
     single (j only) models.
+
+    q_jacobian : the reference integrates ``pl(q)`` over the eep2 MEASURE
+        without the ``|dq/deep2| = (dm/deep)_k / m_j`` change-of-variables
+        factor (cluster_utils.py:101 applies ``ln_dm_deeps`` to the primary
+        only) — the integrand is then not the generative density of
+        (m1 ~ PL(alpha), q ~ PL(gamma)) and biases the inferred (fB, gamma)
+        against simulations that draw q directly (measured: fB 0.3 fitted
+        as ~0.5). False (default) preserves exact reference parity; True
+        adds ``ln_dm_deeps[k] - ln m_j`` so the grid IS that generative
+        density in EEP coordinates (validated by the cluster mini-SBC).
     """
     n_eep = model_mags.shape[0]
     n_bands = model_mags.shape[1]
@@ -105,6 +116,8 @@ def calc_lnlike_grid(
     q = safe_masses[None, :] / safe_masses[:, None]  # (Neep_j, Neep_k): m_k / m_j
     lnlike_mass = _powerlaw_lnpdf(safe_masses, alpha, mass_lo, mass_hi) + ln_dm_deeps  # (Neep,)
     lnlike_q = _powerlaw_lnpdf(q, gamma, q_lo, 1.0)  # (Neep, Neep)
+    if q_jacobian:
+        lnlike_q = lnlike_q + ln_dm_deeps[None, :] - jnp.log(safe_masses)[:, None]
 
     out = (
         lnlike_phot
@@ -141,6 +154,7 @@ def integrate_over_eeps(lnlike_grid, eeps):
 def cluster_lnmarginal(
     lnlike_prop, model_mags, masses, ln_dm_deeps, eeps, mag_values, mag_uncs,
     alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid=None, use_pallas=None,
+    q_jacobian=False,
 ):
     """Per-star ln marginal likelihood (S,) — ``log(integrate_over_eeps(
     calc_lnlike_grid(...)))`` with a backend switch. On TPU this runs the
@@ -166,11 +180,12 @@ def cluster_lnmarginal(
         return cluster_lnmarginal_pallas(
             lnlike_prop, model_mags, masses, ln_dm_deeps, eeps, mag_values,
             mag_uncs, alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid,
-            interpret=jax.default_backend() != "tpu",
+            interpret=jax.default_backend() != "tpu", q_jacobian=q_jacobian,
         )
     grid = calc_lnlike_grid(
         lnlike_prop, model_mags, masses, ln_dm_deeps, mag_values, mag_uncs,
         alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid=valid,
+        q_jacobian=q_jacobian,
     )
     return jnp.log(integrate_over_eeps(grid, eeps))
 

@@ -131,7 +131,7 @@ def _cluster_kernel(n_bands, n_stars_tile, fluxj_ref, fluxk_ref, magsj_ref,
         m_ref[t, 0] = m_new
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile_j"))
+@partial(jax.jit, static_argnames=("interpret", "tile_j", "q_jacobian"))
 def cluster_lnmarginal_pallas(
     lnlike_prop,  # (S, E) per-star property lnlike (may contain -inf/nan)
     model_mags,  # (E, B) model magnitudes along the EEP ladder
@@ -150,6 +150,7 @@ def cluster_lnmarginal_pallas(
     *,
     interpret=False,
     tile_j=128,
+    q_jacobian=False,
 ):
     """Per-star ln marginal likelihood (S,) — ``log`` of what
     ``integrate_over_eeps(calc_lnlike_grid(...), eeps)`` returns, computed
@@ -172,6 +173,11 @@ def cluster_lnmarginal_pallas(
     g1 = gamma + 1.0
     c_q = g1 / (1.0 - q_lo ** g1)
     lnq = jnp.log(c_q) + gamma * jnp.log(q)  # (E, E)
+    if q_jacobian:
+        # |dq/deep2| = (dm/deep)_k / m_j change of variables (see
+        # ops/cluster.py calc_lnlike_grid docs); precomputed here so the
+        # kernel body is untouched
+        lnq = lnq + ln_dm_deeps[None, :] - jnp.log(masses)[:, None]
 
     tri = jnp.tril(jnp.ones((E, E), dtype=bool))
     mask = (q >= q_lo) & tri & valid[:, None] & valid[None, :]

@@ -94,6 +94,43 @@ def test_kernel_parity():
     assert np.allclose(marg, marg_oracle, rtol=1e-10)
 
 
+def test_q_jacobian_correction():
+    """q_jacobian=True adds exactly ln|dq/deep2| = ln_dm[k] - ln m_j to the
+    mass-ratio term (the change-of-variables factor the reference omits,
+    cluster_utils.py:101), in both the XLA grid and the pallas marginal."""
+    from isochrones_tpu.ops.cluster import cluster_lnmarginal
+
+    rng = np.random.default_rng(3)
+    n_eep, n_bands, n_stars = 12, 2, 3
+    eeps = np.arange(n_eep, dtype=float) + 10
+    model_mags = rng.normal(8, 1, (n_eep, n_bands))
+    masses = np.sort(rng.uniform(0.5, 2.0, n_eep))
+    ln_dm = rng.normal(-4, 0.3, n_eep)
+    lnlike_prop = rng.normal(-1, 0.5, (n_stars, n_eep))
+    vals = rng.normal(8, 1, (n_stars, n_bands))
+    uncs = np.full((n_stars, n_bands), 0.05)
+    args = (
+        jnp.asarray(lnlike_prop), jnp.asarray(model_mags), jnp.asarray(masses),
+        jnp.asarray(ln_dm), jnp.asarray(vals), jnp.asarray(uncs),
+        -2.0, 0.3, 0.4, 0.3, 3.0, 0.2,
+    )
+    plain = np.asarray(calc_lnlike_grid(*args))
+    corr = np.asarray(calc_lnlike_grid(*args, q_jacobian=True))
+    jac = ln_dm[None, :] - np.log(masses)[:, None]  # (j, k)
+    finite = np.isfinite(plain)
+    np.testing.assert_allclose(
+        corr[finite], (plain + jac[None])[finite], rtol=1e-12
+    )
+    # pallas(interpret) marginal agrees with the XLA marginal in this mode
+    margs = {}
+    for up in (False, True):
+        margs[up] = np.asarray(cluster_lnmarginal(
+            args[0], args[1], args[2], args[3], jnp.asarray(eeps), args[4], args[5],
+            -2.0, 0.3, 0.4, 0.3, 3.0, 0.2, use_pallas=up, q_jacobian=True,
+        ))
+    np.testing.assert_allclose(margs[True], margs[False], rtol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def sim():
     ic = get_ichrone("synthetic", n_feh=7, n_mass=30, n_eep=100, n_age=30)
