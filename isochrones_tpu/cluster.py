@@ -261,21 +261,25 @@ class StarClusterModel(BasicStarModel):
                 z = (pv[:, j : j + 1] - model_v[None, :]) / pu[:, j : j + 1]
                 lnlike_prop = lnlike_prop - 0.5 * z * z
 
-            valid = (
+            finite = (
                 jnp.isfinite(masses)
                 & jnp.isfinite(ln_dm)
                 & jnp.all(jnp.isfinite(model_mags), axis=-1)
-                & (masses >= mass_lo)
-                & (masses <= mass_hi)
             )
+            # primary rows live inside the mass-prior box; SECONDARY rows
+            # are constrained only through q >= minq (the reference's
+            # semantics, cluster_utils.py:69-70) — restricting the k axis
+            # to the primary box silently reclassified binaries with
+            # secondaries below mass_lo as singles
+            valid = finite & (masses >= mass_lo) & (masses <= mass_hi)
             lnlike_prop = jnp.nan_to_num(lnlike_prop, nan=-jnp.inf)
-            ln_dm_safe = jnp.where(valid, ln_dm, 0.0)
-            masses_safe = jnp.where(valid, masses, 1.0)
+            ln_dm_safe = jnp.where(finite, ln_dm, 0.0)
+            masses_safe = jnp.where(finite, masses, 1.0)
 
             lnmarg = cluster_lnmarginal(
-                lnlike_prop, jnp.where(valid[:, None], model_mags, 0.0), masses_safe,
+                lnlike_prop, jnp.where(finite[:, None], model_mags, 0.0), masses_safe,
                 ln_dm_safe, eeps, mv, mu, alpha, gamma, fB, mass_lo, mass_hi, minq,
-                valid=valid, q_jacobian=self.q_jacobian,
+                valid=valid, q_jacobian=self.q_jacobian, valid_k=finite,
             )  # (S_block,) — pallas kernel on TPU, XLA grid path elsewhere
             ok = w > 0
             good = jnp.isfinite(lnmarg)

@@ -55,8 +55,9 @@ def calc_lnlike_grid(
     mass_lo,
     mass_hi,
     q_lo,
-    valid=None,  # (Neep,) bool: rows with finite model values
+    valid=None,  # (Neep,) bool: primary (j) rows with finite model values
     q_jacobian=False,
+    valid_k=None,  # (Neep,) bool: secondary (k) rows; defaults to ``valid``
 ):
     """Lower-triangular (Nstars, Neep, Neep) grid of
     lnlike(photometry mixture) + lnlike(primary mass) + lnlike(mass ratio)
@@ -76,6 +77,12 @@ def calc_lnlike_grid(
         as ~0.5). False (default) preserves exact reference parity; True
         adds ``ln_dm_deeps[k] - ln m_j`` so the grid IS that generative
         density in EEP coordinates (validated by the cluster mini-SBC).
+    valid_k : separate validity for the secondary axis. The reference
+        constrains the secondary through ``q >= q_lo`` ONLY
+        (cluster_utils.py:69-70) — its mass-prior box applies to the
+        primary. Passing the primary mask (the old behavior and the
+        default) silently forces binaries whose secondary falls below the
+        primary mass box into the single component.
     """
     n_eep = model_mags.shape[0]
     n_bands = model_mags.shape[1]
@@ -85,8 +92,11 @@ def calc_lnlike_grid(
 
     if valid is None:
         valid = jnp.ones(n_eep, dtype=bool)
-    safe_mags = jnp.where(valid[:, None], model_mags, jnp.zeros_like(model_mags))
-    safe_masses = jnp.where(valid, masses, jnp.ones_like(masses))
+    if valid_k is None:
+        valid_k = valid
+    either = valid | valid_k
+    safe_mags = jnp.where(either[:, None], model_mags, jnp.zeros_like(model_mags))
+    safe_masses = jnp.where(either, masses, jnp.ones_like(masses))
 
     flux = 10.0 ** (-0.4 * safe_mags)  # (Neep, Nbands)
 
@@ -129,7 +139,7 @@ def calc_lnlike_grid(
     # mask: q < q_lo -> -inf (cluster_utils.py:72-74); invalid rows/cols and
     # the upper triangle (k > j) contribute nothing downstream
     tri = jnp.tril(jnp.ones((n_eep, n_eep), dtype=bool))
-    mask = (q >= q_lo) & tri & valid[:, None] & valid[None, :]
+    mask = (q >= q_lo) & tri & valid[:, None] & valid_k[None, :]
     return jnp.where(mask[None], out, -jnp.inf)
 
 
@@ -154,7 +164,7 @@ def integrate_over_eeps(lnlike_grid, eeps):
 def cluster_lnmarginal(
     lnlike_prop, model_mags, masses, ln_dm_deeps, eeps, mag_values, mag_uncs,
     alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid=None, use_pallas=None,
-    q_jacobian=False,
+    q_jacobian=False, valid_k=None,
 ):
     """Per-star ln marginal likelihood (S,) — ``log(integrate_over_eeps(
     calc_lnlike_grid(...)))`` with a backend switch. On TPU this runs the
@@ -181,11 +191,12 @@ def cluster_lnmarginal(
             lnlike_prop, model_mags, masses, ln_dm_deeps, eeps, mag_values,
             mag_uncs, alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid,
             interpret=jax.default_backend() != "tpu", q_jacobian=q_jacobian,
+            valid_k=valid_k,
         )
     grid = calc_lnlike_grid(
         lnlike_prop, model_mags, masses, ln_dm_deeps, mag_values, mag_uncs,
         alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid=valid,
-        q_jacobian=q_jacobian,
+        q_jacobian=q_jacobian, valid_k=valid_k,
     )
     return jnp.log(integrate_over_eeps(grid, eeps))
 

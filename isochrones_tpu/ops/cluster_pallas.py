@@ -146,11 +146,12 @@ def cluster_lnmarginal_pallas(
     mass_lo,
     mass_hi,
     q_lo,
-    valid,  # (E,) bool — rows with finite model values
+    valid,  # (E,) bool — primary (j) rows with finite model values
     *,
     interpret=False,
     tile_j=128,
     q_jacobian=False,
+    valid_k=None,  # (E,) bool — secondary (k) rows; defaults to ``valid``
 ):
     """Per-star ln marginal likelihood (S,) — ``log`` of what
     ``integrate_over_eeps(calc_lnlike_grid(...), eeps)`` returns, computed
@@ -163,7 +164,10 @@ def cluster_lnmarginal_pallas(
     S, B = mag_values.shape
     E = model_mags.shape[0]
 
-    safe_mags = jnp.where(valid[:, None], model_mags, jnp.zeros_like(model_mags))
+    if valid_k is None:
+        valid_k = valid
+    either = valid | valid_k
+    safe_mags = jnp.where(either[:, None], model_mags, jnp.zeros_like(model_mags))
     flux = 10.0 ** (-0.4 * safe_mags)  # (E, B)
 
     a1 = alpha + 1.0
@@ -180,7 +184,7 @@ def cluster_lnmarginal_pallas(
         lnq = lnq + ln_dm_deeps[None, :] - jnp.log(masses)[:, None]
 
     tri = jnp.tril(jnp.ones((E, E), dtype=bool))
-    mask = (q >= q_lo) & tri & valid[:, None] & valid[None, :]
+    mask = (q >= q_lo) & tri & valid[:, None] & valid_k[None, :]
     w2 = trapezoid_weights(eeps, mask).astype(dt)
     lnq = jnp.where(mask, lnq, 0.0)  # masked entries have w2 == 0
 
