@@ -436,18 +436,24 @@ class Bench:
         engine wall-clock substitution factor)."""
         model = self._binary_fit_model()
         nwalkers, nburn, niter = (256, 1500, 300) if self.on_tpu else (64, 300, 100)
-        t0 = time.perf_counter()
-        df = model.fit_mcmc(nwalkers=nwalkers, nburn=nburn, niter=niter,
-                            seed=1, moves="mixed")
-        dt = time.perf_counter() - t0
+        times = []
+        for rep in range(2 if self.on_tpu else 1):
+            t0 = time.perf_counter()
+            df = model.fit_mcmc(nwalkers=nwalkers, nburn=nburn, niter=niter,
+                                seed=1 + rep, moves="mixed")
+            times.append(time.perf_counter() - t0)
+        # report the WARM run: the scan program compiles once (cold ~400 s
+        # over the remote-TPU tunnel) and is cached persistently after
+        dt = times[-1]
         assert np.isfinite(df["lnprob"]).any()
         return {
-            "metric": f"end-to-end binary-star ensemble-MCMC fit ({nwalkers}w x {nburn}+{niter})",
+            "metric": f"end-to-end binary-star ensemble-MCMC fit ({nwalkers}w x {nburn}+{niter}, warm)",
             "value": round(dt, 2),
             "unit": "seconds (lower is better)",
             "baseline": BASE_FIT_SECONDS,
             "vs_baseline": round(BASE_FIT_SECONDS / dt, 1),
             "n_samples": int(len(df)),
+            "times": [round(t, 1) for t in times],
         }
 
     def bench_nuts_fit(self):
@@ -456,18 +462,22 @@ class Bench:
         posterior baseline)."""
         model = self._binary_fit_model()
         n_chains, n_warmup, n_samples = (16, 800, 1000) if self.on_tpu else (8, 300, 300)
-        t0 = time.perf_counter()
-        df = model.fit_nuts(n_chains=n_chains, n_warmup=n_warmup,
-                            n_samples=n_samples, seed=2)
-        dt = time.perf_counter() - t0
+        times = []
+        for rep in range(2 if self.on_tpu else 1):
+            t0 = time.perf_counter()
+            df = model.fit_nuts(n_chains=n_chains, n_warmup=n_warmup,
+                                n_samples=n_samples, seed=2 + rep)
+            times.append(time.perf_counter() - t0)
+        dt = times[-1]  # warm run (see bench_mcmc_fit)
         assert np.isfinite(df["lnprob"]).any()
         return {
-            "metric": f"end-to-end binary-star NUTS fit ({n_chains}c x {n_warmup}+{n_samples})",
+            "metric": f"end-to-end binary-star NUTS fit ({n_chains}c x {n_warmup}+{n_samples}, warm)",
             "value": round(dt, 2),
             "unit": "seconds (lower is better)",
             "baseline": BASE_FIT_SECONDS,
             "vs_baseline": round(BASE_FIT_SECONDS / dt, 1),
             "n_samples": int(len(df)),
+            "times": [round(t, 1) for t in times],
         }
 
     # ------------------------------------------ 10. end-to-end cluster fit
@@ -495,17 +505,21 @@ class Bench:
         p0 = base[None, :] + self.rng.normal(
             0, [0.02, 0.02, 2.0, 0.01, 0.1, 0.03, 0.03], size=(nwalkers, 7)
         )
-        t0 = time.perf_counter()
-        df = model.fit_mcmc(nwalkers=nwalkers, nburn=nburn, niter=niter,
-                            p0=p0, seed=3, moves="mixed")
-        dt = time.perf_counter() - t0
+        times = []
+        for rep in range(2 if self.on_tpu else 1):
+            t0 = time.perf_counter()
+            df = model.fit_mcmc(nwalkers=nwalkers, nburn=nburn, niter=niter,
+                                p0=p0, seed=3 + rep, moves="mixed")
+            times.append(time.perf_counter() - t0)
+        dt = times[-1]  # warm run (see bench_mcmc_fit)
         assert np.isfinite(df["lnprob"]).any()
         return {
-            "metric": f"end-to-end 50-star cluster MCMC fit ({nwalkers}w x {nburn}+{niter})",
+            "metric": f"end-to-end 50-star cluster MCMC fit ({nwalkers}w x {nburn}+{niter}, warm)",
             "value": round(dt, 2),
             "unit": "seconds (lower is better)",
             "baseline": None,
             "vs_baseline": None,
+            "times": [round(t, 1) for t in times],
         }
 
 

@@ -69,6 +69,7 @@ class StarClusterModel(BasicStarModel):
         directory=".",
         mesh=None,
         q_jacobian=False,
+        eep_step=1.0,
         **kwargs,
     ):
         self._jit_cache: Dict[str, object] = {}
@@ -84,6 +85,15 @@ class StarClusterModel(BasicStarModel):
         #: density (see ops/cluster.py calc_lnlike_grid; cluster mini-SBC
         #: validates this mode).
         self.q_jacobian = bool(q_jacobian)
+        #: EEP-ladder spacing for the (eep1, eep2) marginalization. The
+        #: reference hard-codes integer EEPs; at few-mmag photometric
+        #: precision a star's likelihood peak along the ladder (width
+        #: ~ unc / |dmag/dEEP|) is NARROWER than 1 EEP for evolved stars,
+        #: the trapezoid misses the single-star peak, and the 2-d binary
+        #: component absorbs it (fB biased high — docs/cluster.md). Set
+        #: e.g. 0.25 to resolve; cost grows as 1/step^2 (cheap on TPU
+        #: where the pallas kernel streams the plane through VMEM).
+        self.eep_step = float(eep_step)
         if not isinstance(stars, StarCatalog):
             stars = StarCatalog(stars, **kwargs)
         self.stars = stars
@@ -172,7 +182,7 @@ class StarClusterModel(BasicStarModel):
     def _build_lnlike_batch(self):
         ic = self.ic
         mineep, maxeep = self.bounds("eep")
-        eeps = jnp.arange(float(mineep), float(maxeep) + 1.0)
+        eeps = jnp.arange(float(mineep), float(maxeep) + self.eep_step, self.eep_step)
         io = tuple(ic._param_index_order)
         model = ic.model
         bc = ic.bc
@@ -317,7 +327,7 @@ class StarClusterModel(BasicStarModel):
             def lnlike_one(p):
                 return sharded(p, mag_vals, mag_uncs, prop_vals, prop_uncs, star_w)
 
-        n_eep_total = int(maxeep - mineep) + 1
+        n_eep_total = int(round((float(maxeep) - float(mineep)) / self.eep_step)) + 1
         # memory-bounded chunked vmap. XLA grid path: each walker
         # materializes a (Nstars, Neep^2) plane. Pallas path (TPU): only the
         # (Neep^2) q-prior/weight matrices per walker — the star plane never
