@@ -25,6 +25,12 @@ def main(argv=None):
     parser.add_argument("--name", default="")
     parser.add_argument("--halo_fraction", type=float, default=0.5)
     parser.add_argument("--max_iter", type=int, default=None)
+    parser.add_argument("--eep-step", type=float, default=1.0,
+                        help="EEP-ladder spacing for the marginalization; <1 resolves "
+                             "sub-EEP likelihood peaks at few-mmag precision (docs/cluster.md)")
+    parser.add_argument("--q-jacobian", action="store_true",
+                        help="use the corrected mass-ratio measure (|dq/dEEP2| change of "
+                             "variables) instead of exact reference parity")
     args = parser.parse_args(argv)
     if args.platform:
         import jax
@@ -38,7 +44,7 @@ def main(argv=None):
         max_distance=args.max_distance, mineep=args.mineep, maxeep=args.maxeep,
         maxAV=args.maxAV, minq=args.minq, overwrite=args.overwrite,
         nlive=args.nlive, name=args.name, halo_fraction=args.halo_fraction,
-        max_iter=args.max_iter,
+        max_iter=args.max_iter, eep_step=args.eep_step, q_jacobian=args.q_jacobian,
     )
     return 0
 

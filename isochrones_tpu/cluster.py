@@ -550,6 +550,8 @@ def clusterfit(
     comm=None,
     rank=0,
     max_iter=None,
+    eep_step=1.0,
+    q_jacobian=False,
 ):
     """Cluster-fit driver (reference cluster.py:20-68). The reference
     broadcasts the model over MPI for MultiNest's rank-parallel likelihoods;
@@ -570,6 +572,7 @@ def clusterfit(
     model = StarClusterModel(
         ic, cat, eep_bounds=(mineep, maxeep), max_distance=max_distance,
         minq=minq, halo_fraction=halo_fraction, max_AV=maxAV, name=name,
+        eep_step=eep_step, q_jacobian=q_jacobian,
     )
     model.fit(overwrite=overwrite, n_live_points=nlive, max_iter=max_iter)
     return model
