@@ -122,6 +122,21 @@ def test_generate(track):
     assert df["Teff"].values[2] > df["Teff"].values[0]
 
 
+def test_generate_device_matches_host(track):
+    """generate_device returns the same fused-kernel outputs as generate,
+    minus the host readback (the device-resident consumer/bench path)."""
+    mass = np.array([0.8, 1.0, 1.2])
+    df = track.generate(mass, 9.0, 0.0, distance=100.0, AV=0.1)
+    eeps, values, mags = track.generate_device(mass, 9.0, 0.0, distance=100.0, AV=0.1)
+    values = np.asarray(values)
+    mags = np.asarray(mags)
+    cols = list(track.model.columns)
+    np.testing.assert_allclose(values[:, cols.index("Teff")], df["Teff"].values, rtol=1e-12)
+    band_i = track.bands.index("J")
+    np.testing.assert_allclose(mags[:, band_i], df["J_mag"].values, rtol=1e-12)
+    assert np.asarray(eeps).shape == (3,)
+
+
 def test_generate_all_As(track):
     df = track.generate(1.0, 9.0, 0.0, distance=100.0, AV=0.5, all_As=True)
     for b in track.bands:
