@@ -450,18 +450,33 @@ class BatchStarFitter:
             getLogger().warning("%d walkers still invalid after %d rounds", bad.sum(), rounds)
         return p0
 
-    def fit_mcmc(self, nwalkers=128, nburn=500, niter=100, thin=1, seed=None):
+    def fit_mcmc(self, nwalkers=128, nburn=500, niter=100, thin=1, seed=None, mesh=None):
         """One jitted program advancing every star's ensemble in lockstep.
 
-        Returns samples of shape (n_stars, kept_steps * n_walkers, 5)."""
+        Returns samples of shape (n_stars, kept_steps * n_walkers, 5).
+        mesh : optional ``jax.sharding.Mesh`` — shards the STAR axis (each
+        device advances its block of stars' independent ensembles; zero
+        communication, like :meth:`fit_multinest`'s star sharding)."""
         from .samplers.ensemble import run_ensemble_batch
+
+        lnpost = self.lnpost_batch
+        if mesh is not None:
+            from .samplers.nested import _mesh_constrain_leading
+
+            base = lnpost
+
+            def lnpost(p):  # noqa: F811 — shard the (S, W, 5) star axis
+                if not isinstance(p, jax.core.Tracer):
+                    return base(p)
+                (p,) = _mesh_constrain_leading((p,), mesh)
+                return _mesh_constrain_leading(base(p), mesh)
 
         p0 = jnp.asarray(self.sample_p0(nwalkers, rng=seed))
         key = jax.random.PRNGKey(seed if seed is not None else 0)
         key, k_burn = jax.random.split(key)
-        _, _, state = run_ensemble_batch(self.lnpost_batch, p0, k_burn, n_steps=nburn)
+        _, _, state = run_ensemble_batch(lnpost, p0, k_burn, n_steps=nburn)
         chain, ln_chain, state = run_ensemble_batch(
-            self.lnpost_batch, state[1], state[0], n_steps=niter, thin=thin
+            lnpost, state[1], state[0], n_steps=niter, thin=thin
         )
         # (T, S, W, P) -> (S, T*W, P)
         chain = np.asarray(chain)

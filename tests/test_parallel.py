@@ -122,6 +122,36 @@ def test_sharded_batch_fitter_matches_unsharded(model):
 
 
 @pytest.mark.slow
+def test_sharded_batch_mcmc_matches_unsharded(model):
+    """BatchStarFitter.fit_mcmc(mesh=): star-axis sharding of the lockstep
+    ensembles — per-star updates have no cross-star reductions, so sharded
+    == unsharded bitwise for the same seed."""
+    import pandas as pd
+
+    from isochrones_tpu.batch import BatchStarFitter
+
+    iso = model.ic
+    rng = np.random.default_rng(2)
+    rows = []
+    for _ in range(10):  # non-divisible by 8
+        eep, age = rng.uniform(30, 70), rng.uniform(8.7, 9.3)
+        feh, d, av = rng.uniform(-0.2, 0.2), rng.uniform(150, 350), rng.uniform(0, 0.2)
+        Teff, _, _, mags = iso.interp_mag([eep, age, feh, d, av], ["J", "H", "K"])
+        rows.append(dict(
+            Teff=float(Teff), Teff_unc=100.0,
+            J_mag=float(mags[0]), J_mag_unc=0.02,
+            parallax=1000.0 / d, parallax_unc=0.1,
+        ))
+    df = pd.DataFrame(rows)
+    f_plain = BatchStarFitter(iso, df)
+    s_plain = f_plain.fit_mcmc(nwalkers=16, nburn=20, niter=10, seed=5)
+    f_shard = BatchStarFitter(iso, df)
+    mesh = default_mesh(8, axis_names=("stars",))
+    s_shard = f_shard.fit_mcmc(nwalkers=16, nburn=20, niter=10, seed=5, mesh=mesh)
+    np.testing.assert_array_equal(s_shard, s_plain)
+
+
+@pytest.mark.slow
 def test_sharded_nuts_statistical_equivalence():
     """NUTS chains shard over the mesh (one block of independent chains per
     device). The pooled warmup variance crosses the mesh, so bitwise equality
