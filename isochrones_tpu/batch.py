@@ -517,15 +517,17 @@ def fit_catalog(
 
     method : "mcmc" (lockstep ensembles) or "nested" (per-star vmapped
         nested sampling — also yields per-star evidences in
-        ``fitter.evidence`` for catalog-scale model comparison)."""
+        ``fitter.evidence`` for catalog-scale model comparison).
+    derived : include derived physical quantiles (mass, radius, Teff, ...)
+        via one batched interpolator dispatch (summary.summarize_batch)."""
+    derived = kwargs.pop("derived", True)
+    mesh = kwargs.pop("mesh", None)
     fitter = BatchStarFitter(ic, catalog, **kwargs)
     if method == "nested":
-        fitter.fit_multinest(n_live_points=n_live_points, seed=seed)
+        fitter.fit_multinest(n_live_points=n_live_points, seed=seed, mesh=mesh)
     else:
-        fitter.fit_mcmc(nwalkers=nwalkers, nburn=nburn, niter=niter, seed=seed)
-    summary = fitter.summary()
-    if method == "nested":
-        logz, logzerr = fitter.evidence
-        summary["logz"] = logz
-        summary["logzerr"] = logzerr
+        fitter.fit_mcmc(nwalkers=nwalkers, nburn=nburn, niter=niter, seed=seed, mesh=mesh)
+    from .summary import summarize_batch
+
+    summary = summarize_batch(fitter, qs=(0.16, 0.5, 0.84), derived=derived)
     return fitter, summary
