@@ -460,16 +460,10 @@ class BatchStarFitter:
         from .samplers.ensemble import run_ensemble_batch
 
         lnpost = self.lnpost_batch
-        if mesh is not None:
-            from .samplers.nested import _mesh_constrain_leading
+        if mesh is not None:  # shard the (S, W, 5) star axis
+            from .parallel import mesh_wrap_fn
 
-            base = lnpost
-
-            def lnpost(p):  # noqa: F811 — shard the (S, W, 5) star axis
-                if not isinstance(p, jax.core.Tracer):
-                    return base(p)
-                (p,) = _mesh_constrain_leading((p,), mesh)
-                return _mesh_constrain_leading(base(p), mesh)
+            lnpost = mesh_wrap_fn(lnpost, mesh)
 
         p0 = jnp.asarray(self.sample_p0(nwalkers, rng=seed))
         key = jax.random.PRNGKey(seed if seed is not None else 0)

@@ -182,7 +182,11 @@ class StarClusterModel(BasicStarModel):
     def _build_lnlike_batch(self):
         ic = self.ic
         mineep, maxeep = self.bounds("eep")
-        eeps = jnp.arange(float(mineep), float(maxeep) + self.eep_step, self.eep_step)
+        # count-based ladder: arange(min, max + step, step) overshoots maxeep
+        # for non-divisor steps (or via float rounding), integrating
+        # likelihood mass outside the declared eep bounds box
+        n_ladder = int(np.floor((float(maxeep) - float(mineep)) / self.eep_step + 1e-9)) + 1
+        eeps = float(mineep) + self.eep_step * jnp.arange(n_ladder)
         io = tuple(ic._param_index_order)
         model = ic.model
         bc = ic.bc
@@ -327,7 +331,7 @@ class StarClusterModel(BasicStarModel):
             def lnlike_one(p):
                 return sharded(p, mag_vals, mag_uncs, prop_vals, prop_uncs, star_w)
 
-        n_eep_total = int(round((float(maxeep) - float(mineep)) / self.eep_step)) + 1
+        n_eep_total = n_ladder
         # memory-bounded chunked vmap. XLA grid path: each walker
         # materializes a (Nstars, Neep^2) plane. Pallas path (TPU): only the
         # (Neep^2) q-prior/weight matrices per walker — the star plane never

@@ -117,9 +117,9 @@ def fit_mcmc_convergent(
     samples (reference fit_emcee3, fit.py:47-170).
 
     nburn : number of autocorrelation times to discard as burn-in.
-    moves : proposal mixture; defaults to "mixed" (stretch/DE/snooker
-        0.4/0.4/0.2) mirroring the reference harness's mixedmoves=True
-        default (fit.py:59,91-96).
+    moves : proposal mixture; defaults to "mixed" (KDE/DE/snooker
+        0.4/0.4/0.2, the reference harness's mixedmoves=True mixture,
+        fit.py:110-120; small ensembles auto-fall back to DE/snooker).
     """
     import jax
     import jax.numpy as jnp

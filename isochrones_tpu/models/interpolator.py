@@ -628,17 +628,22 @@ class ModelGridInterpolator:
         if self.eep_support is None:
             raise NotImplementedError("generate_device needs baked EEP support arrays")
         bands = self.bands if bands is None else list(bands)
-        b = np.broadcast(*[np.asarray(x, dtype=float) for x in (mass, age, feh, distance, AV)])
-        shape = b.shape if b.ndim else (1,)
+        # broadcast/stack stay in jnp: np.asarray on a device array forces a
+        # blocking device->host copy (and jnp.asarray would then re-upload),
+        # which both breaks the "no host readback" contract for
+        # device-resident callers and makes the device bench row measure the
+        # host link. Shapes are static metadata — no sync happens here.
+        dt = jnp.result_type(float)
+        arrs = [jnp.asarray(x, dtype=dt) for x in (mass, age, feh, distance, AV)]
+        shape = jnp.broadcast_shapes(*(a.shape for a in arrs)) or (1,)
         mass_, age_, feh_, dist_, av_ = (
-            np.broadcast_to(np.asarray(x, dtype=float), shape).reshape(-1)
-            for x in (mass, age, feh, distance, AV)
+            jnp.broadcast_to(a, shape).reshape(-1) for a in arrs
         )
         prop_names = list(self.model.columns) if props == "all" else list(props)
         feh_knots, mass_knots, age_arrays, lengths = self.eep_support
         eep0 = float(np.asarray(self.model.knots[-1])[0])
         i_age = self.model.column_index["age"]
-        pts = jnp.asarray(np.stack([mass_, age_, feh_, dist_, av_], axis=-1))
+        pts = jnp.stack([mass_, age_, feh_, dist_, av_], axis=-1)
         return _generate_g(
             self.model, self.model_packed, self.bc,
             feh_knots, mass_knots, age_arrays, lengths,

@@ -37,6 +37,8 @@ __all__ = [
     "replicate",
     "sharded_lnpost",
     "pad_to_multiple",
+    "mesh_constrain_leading",
+    "mesh_wrap_fn",
 ]
 
 
@@ -86,3 +88,38 @@ def sharded_lnpost(lnpost_batch, mesh: Mesh, axis: str = "walkers"):
     in_spec = NamedSharding(mesh, P(axis, None))
     out_spec = NamedSharding(mesh, P(axis))
     return jax.jit(lnpost_batch, in_shardings=(in_spec,), out_shardings=out_spec)
+
+
+def mesh_constrain_leading(tree, mesh: Mesh):
+    """Constrain every array in ``tree`` to shard its LEADING axis over
+    ``mesh``'s first axis (independent runs / chains / stars axes — the
+    fan-out axes every fit engine shards)."""
+    ax = mesh.axis_names[0]
+
+    def one(x):
+        if x is None:
+            return None
+        spec = P(ax, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(one, tree, is_leaf=lambda x: x is None)
+
+
+def mesh_wrap_fn(fn, mesh: Mesh):
+    """Tracer-guarded sharding wrapper: constrain the leading axis of every
+    array argument AND result of ``fn`` over ``mesh``'s first axis. The one
+    mesh-plumbing helper shared by every fit engine (nested / NUTS /
+    ensemble / batch) — keep the tracer guard here, in one place: eager
+    (init-time) calls pass through unwrapped because
+    ``with_sharding_constraint`` outside jit is a ``device_put`` that
+    requires divisible batch sizes, while under jit GSPMD pads any size."""
+
+    def wrapped(*args):
+        if not any(
+            isinstance(a, jax.core.Tracer) for a in jax.tree_util.tree_leaves(args)
+        ):
+            return fn(*args)
+        args = mesh_constrain_leading(args, mesh)
+        return mesh_constrain_leading(fn(*args), mesh)
+
+    return wrapped

@@ -21,6 +21,19 @@ from scipy.integrate import quad
 
 from .logger import getLogger
 
+def _norm_bounds(bounds):
+    """Normalize a (lo, hi) pair: None endpoints become +-inf so every
+    downstream comparison / quad sees floats (None otherwise survives into
+    ``pdf``/``test_integral`` and crashes on first evaluation)."""
+    if bounds is None:
+        return None
+    lo, hi = bounds
+    return (
+        -np.inf if lo is None else float(lo),
+        np.inf if hi is None else float(hi),
+    )
+
+
 ONE_OVER_ROOT_2PI = 1.0 / math.sqrt(2 * math.pi)
 LOG_ONE_OVER_ROOT_2PI = math.log(ONE_OVER_ROOT_2PI)
 
@@ -75,6 +88,7 @@ class Prior:
 
     @bounds.setter
     def bounds(self, new):
+        new = _norm_bounds(new)
         self._norm = quad(self._pdf, *new)[0]
         self._bounds = new
         try:
@@ -141,7 +155,7 @@ class BoundedPrior(Prior):
     """Prior whose _pdf is already normalized over its bounds (priors.py:107-140)."""
 
     def __init__(self, bounds=None):
-        self._bounds = bounds
+        self._bounds = _norm_bounds(bounds)
         super().__init__()
 
     @property
@@ -150,7 +164,7 @@ class BoundedPrior(Prior):
 
     @bounds.setter
     def bounds(self, new):
-        self._bounds = new
+        self._bounds = _norm_bounds(new)
         self._on_bounds_change()
         try:
             self.test_integral()
@@ -212,7 +226,7 @@ class GaussianPrior(BoundedPrior):
     def __init__(self, mean, sigma, bounds=None):
         self.mean = mean
         self.sigma = sigma
-        self._bounds = bounds
+        self._bounds = _norm_bounds(bounds)
         self._norm = 1.0
         self._on_bounds_change()
 
@@ -220,12 +234,7 @@ class GaussianPrior(BoundedPrior):
         """(Re)build the truncation — assigning ``.bounds`` after
         construction must re-truncate, not keep the old normalization."""
         bounds = self._bounds
-        if bounds is not None:
-            lo, hi = bounds
-            lo = -np.inf if lo is None else float(lo)
-            hi = np.inf if hi is None else float(hi)
-        else:
-            lo, hi = -np.inf, np.inf
+        lo, hi = (-np.inf, np.inf) if bounds is None else bounds
         if np.isfinite(lo) or np.isfinite(hi):
             # truncate whenever ANY bound is finite: scipy truncnorm handles
             # one-sided (+-inf) endpoints, and skipping truncation for e.g.
@@ -376,7 +385,8 @@ class BrokenPrior(Prior):
         self.components = components
         self.n_components = len(components)
         self.breakpoints = list(breakpoints)
-        self._bounds = bounds if bounds is not None else (-np.inf, np.inf)
+        nb = _norm_bounds(bounds)
+        self._bounds = nb if nb is not None else (-np.inf, np.inf)
         self._norm = 1.0
         self.quad_args = dict(limit=200)
         self._initialize()
@@ -387,7 +397,7 @@ class BrokenPrior(Prior):
 
     @bounds.setter
     def bounds(self, new):
-        self._bounds = new
+        self._bounds = _norm_bounds(new)
         self._initialize()
 
     def _initialize(self):

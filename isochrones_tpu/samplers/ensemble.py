@@ -140,7 +140,18 @@ def _kde_half(lnpost_v, active, passive, lnp_active, key):
     # scipy.gaussian_kde: kernel cov = scott_factor^2 * sample cov (ddof=1)
     cov = (c.T @ c) / (n_pas - 1)
     h = float(n_pas) ** (-1.0 / (n_dim + 4))  # Scott's rule
-    kcov = (h * h) * cov + 1e-12 * jnp.eye(n_dim, dtype=active.dtype)
+    # Regularization must scale WITH the parameter scales: the sample cov has
+    # rank <= n_pas - 1 and f32 rounding leaves eigenvalues negative by far
+    # more than an absolute 1e-12 when diag ~ 1e4 (a distance-like axis), in
+    # which case cholesky silently returns NaN and every proposal is
+    # rejected. Ridge each axis by a fraction of its own variance; when the
+    # passive half cannot span the space (n_pas <= n_dim) a larger diagonal
+    # blend keeps the kernel full-rank (the independence-sampler ratio below
+    # uses the same kernel, so any SPD choice stays exact).
+    lam = 1e-6 if n_pas > n_dim else 1e-2
+    diag = jnp.diag(cov)
+    ridge = lam * diag + 1e-12 * (1.0 + jnp.max(diag))
+    kcov = (h * h) * (cov + jnp.diag(ridge))
     L = jnp.linalg.cholesky(kcov)
 
     picks = jax.random.randint(k_pick, (n_act,), 0, n_pas)
@@ -185,8 +196,9 @@ def run_ensemble(
 
     lnpost_v : vmapped log-posterior, (n, n_params) -> (n,)
     walkers0 : (n_walkers, n_params) initial positions (n_walkers even)
-    moves : "stretch" | "de" | "snooker" | "mixed" (the reference emcee3
-        harness mixture, fit.py:91-96 — better mixing on correlated
+    moves : "stretch" | "de" | "snooker" | "kde" | "mixed" (KDE/DE/snooker
+        0.4/0.4/0.2, the reference emcee3 harness mixture,
+        fit.py:110-120 — better mixing on correlated
         posteriors than stretch-only)
     Returns (chain (n_steps//thin, n_walkers, n_params),
              ln_chain (n_steps//thin, n_walkers),
@@ -200,7 +212,14 @@ def run_ensemble(
         walkers=walkers0, ln_prob=lnp0, key=key, n_accept=jnp.zeros(n_walkers, dtype=jnp.int32)
     )
 
-    weights = jnp.asarray(_MOVE_WEIGHTS[moves])
+    w_moves = _MOVE_WEIGHTS[moves]
+    if moves == "mixed" and half <= walkers0.shape[1] + 1:
+        # an n_pas-point KDE in n_dim >= n_pas - 1 is a poor density estimate
+        # (independence-sampler acceptance measured ~3% for 8 points / 7
+        # dims even with an SPD kernel); fall back to the DE/snooker blend
+        # for small ensembles rather than spend 40% of updates near-rejected
+        w_moves = (0.0, 0.6, 0.4, 0.0)
+    weights = jnp.asarray(w_moves)
     branches = [
         lambda act, pas, lnp, k: _stretch_half(lnpost_v, act, pas, lnp, k, a=a),
         lambda act, pas, lnp, k: _de_half(lnpost_v, act, pas, lnp, k),

@@ -133,39 +133,19 @@ def _mesh_wrap_lnlike(lnlike_u, mesh):
     (reference starmodel.py:755-797). The likelihood is elementwise over the
     batch, so the sharded program computes identical per-point values; XLA
     inserts the (tiny) all-gather of the (B,) result over ICI. Non-divisible
-    batch sizes are fine: GSPMD pads internally."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    batch sizes are fine: GSPMD pads internally. (Thin alias of the shared
+    :func:`isochrones_tpu.parallel.mesh_wrap_fn` — one tracer-guard /
+    constraint implementation for every engine.)"""
+    from ..parallel import mesh_wrap_fn
 
-    ax = mesh.axis_names[0]
-    in_s = NamedSharding(mesh, P(ax, None))
-    out_s = NamedSharding(mesh, P(ax))
-
-    def wrapped(u):
-        if not isinstance(u, jax.core.Tracer):
-            # eager call (live-point init): constraints only apply under jit
-            # (eagerly they'd be a device_put requiring divisible batches)
-            return lnlike_u(u)
-        u = jax.lax.with_sharding_constraint(u, in_s)
-        out = lnlike_u(u)
-        return jax.lax.with_sharding_constraint(out, out_s)
-
-    return wrapped
+    return mesh_wrap_fn(lnlike_u, mesh)
 
 
 def _mesh_constrain_leading(tree, mesh):
-    """Constrain every array in ``tree`` to shard its LEADING axis over
-    ``mesh``'s first axis (used for the independent-runs / stars axis)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """Alias of :func:`isochrones_tpu.parallel.mesh_constrain_leading`."""
+    from ..parallel import mesh_constrain_leading
 
-    ax = mesh.axis_names[0]
-
-    def one(x):
-        if x is None:
-            return None
-        spec = P(ax, *([None] * (x.ndim - 1)))
-        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
-
-    return jax.tree_util.tree_map(one, tree, is_leaf=lambda x: x is None)
+    return mesh_constrain_leading(tree, mesh)
 
 
 def _live_cholesky(live_u, jitter=1e-12):

@@ -238,21 +238,10 @@ def _nuts_run(logp_batch, x0, key, dim, n_warmup, n_samples, max_depth, target_a
         # within a shard). The pooled warmup variance (m2.mean over chains)
         # becomes a small XLA collective, so sharded != unsharded bitwise —
         # statistical equivalence is the contract (test_parallel).
-        from .nested import _mesh_constrain_leading
+        from ..parallel import mesh_wrap_fn
 
-        kernel_inner = kernel_v
-
-        def kernel_v(*args):  # noqa: F811 — deliberate shadowing
-            args = _mesh_constrain_leading(args, mesh)
-            return _mesh_constrain_leading(kernel_inner(*args), mesh)
-
-        vg_inner = vg
-
-        def vg(z):  # noqa: F811
-            if not isinstance(z, jax.core.Tracer):
-                return vg_inner(z)  # eager init call: constraints need jit
-            (z,) = _mesh_constrain_leading((z,), mesh)
-            return _mesh_constrain_leading(vg_inner(z), mesh)
+        kernel_v = mesh_wrap_fn(kernel_v, mesh)
+        vg = mesh_wrap_fn(vg, mesh)
 
     lnp0, g0 = vg(x0)
 

@@ -762,8 +762,9 @@ class BasicStarModel:
         mesh : optional ``jax.sharding.Mesh`` with a ``walkers`` axis — the
         walker batch shards across devices (data-parallel lnpost; the
         stretch move's complementary-half access becomes an ICI all-gather).
-        moves : "stretch" (emcee default) or "mixed" (stretch/DE/snooker,
-        the emcee3 harness mixture — better on correlated posteriors).
+        moves : "stretch" (emcee default), "de", "snooker", "kde", or
+        "mixed" (KDE/DE/snooker 0.4/0.4/0.2 — the reference emcee3
+        harness mixture, fit.py:110-120; better on correlated posteriors).
         """
         from .samplers.ensemble import run_ensemble
 

@@ -101,6 +101,7 @@ def summarize_batch(
     derived=True,
     columns=DEFAULT_COLUMNS,
     filename=None,
+    max_derived_draws=2000,
 ):
     """One catalog -> one summary frame, natively from a fitted
     :class:`~isochrones_tpu.batch.BatchStarFitter` (fit params + derived
@@ -109,15 +110,25 @@ def summarize_batch(
     This is the ``starfit-summarize`` product without the per-folder HDF
     round-trip: draws stay as the fitter's ``(S, N, 5)`` array, derived
     columns come from one batched interpolator dispatch.
+
+    max_derived_draws : cap on posterior draws per star entering the derived
+        interpolator dispatch (evenly strided; quantiles converge by ~1-2k
+        draws). The fit-param quantiles always use every draw — only the
+        expensive ``(S, N, P)`` derived pass is subsampled. ``None`` = all.
     """
     import pandas as pd
 
     idx = fitter.catalog.df.index
     frames = [quantile_frame(fitter.samples, list(fitter.param_names), qs=qs, index=idx)]
     if derived:
+        samples_d = np.asarray(fitter.samples)
+        n_draws = samples_d.shape[1]
+        if max_derived_draws is not None and n_draws > max_derived_draws:
+            stride = np.linspace(0, n_draws - 1, max_derived_draws).astype(int)
+            samples_d = samples_d[:, stride]
         frames.append(
             derived_quantile_frame(
-                fitter.ic, fitter.samples, qs=qs, columns=columns, index=idx
+                fitter.ic, samples_d, qs=qs, columns=columns, index=idx
             )
         )
     df = pd.concat(frames, axis=1)

@@ -119,6 +119,33 @@ def test_ensemble_moves_gaussian(moves):
     assert 0.1 < acc < 0.95, f"acceptance {acc}"
 
 
+def test_kde_move_physical_scales_f32():
+    """KDE kernel regularization must scale with the parameter scales: with
+    a distance-like axis (sigma ~1e2) in f32 the sample covariance's
+    rounding error exceeds any absolute jitter, cholesky goes NaN, and every
+    proposal is rejected (measured 1.9% acceptance pre-fix). The ridge is
+    now relative to each axis's own variance."""
+    scale = jnp.asarray([1.0, 1.0, 100.0, 1.0, 1.0, 1.0, 0.1], dtype=jnp.float32)
+
+    def lnpost_v(p):
+        z = p / scale
+        return -0.5 * jnp.sum(z * z, axis=-1)
+
+    key = jax.random.PRNGKey(2)
+    w0 = (jax.random.normal(key, (64, 7), dtype=jnp.float32) * scale).astype(jnp.float32)
+    chain, _, final = run_ensemble(lnpost_v, w0, key, n_steps=300, moves="kde")
+    assert bool(jnp.all(jnp.isfinite(chain[-1])))
+    acc = float(jnp.mean(final.n_accept)) / 300
+    assert acc > 0.1, f"KDE acceptance collapsed: {acc}"
+
+    # small-ensemble guard: 16 walkers / 7 dims -> the passive half (8 pts)
+    # cannot support a useful 7-dim KDE; "mixed" falls back to DE/snooker
+    w0s = w0[:16]
+    chain_s, _, final_s = run_ensemble(lnpost_v, w0s, key, n_steps=300, moves="mixed")
+    acc_s = float(jnp.mean(final_s.n_accept)) / 300
+    assert acc_s > 0.1, f"mixed acceptance collapsed at 16 walkers: {acc_s}"
+
+
 def test_mixed_moves_autocorr_benchmark():
     """Benchmark mixed vs stretch-only mixing on a curved (banana) target —
     the correlated-posterior case the emcee3 mixture exists for. Asserts both
