@@ -184,6 +184,16 @@ def cluster_lnmarginal(
             use_pallas = True
         else:
             use_pallas = jax.default_backend() == "tpu"
+    if (
+        use_pallas
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(model_mags.dtype).itemsize == 8
+    ):
+        # Mosaic (compiled pallas) lowers only 32-bit scalar element types;
+        # a user enabling x64 on a TPU backend would hit an opaque lowering
+        # error — take the XLA grid path instead (interpret mode elsewhere
+        # handles f64 fine, so CPU parity tests are unaffected)
+        use_pallas = False
     if use_pallas:
         from .cluster_pallas import cluster_lnmarginal_pallas
 

@@ -174,3 +174,18 @@ def test_dispatcher_forced_pallas_matches():
     got = np.asarray(cluster_lnmarginal(**kw, use_pallas=True))
     m = np.isfinite(ref)
     np.testing.assert_allclose(got[m], ref[m], rtol=1e-8)
+
+
+def test_dispatcher_f64_on_tpu_falls_back_to_xla(monkeypatch):
+    """A TPU backend with x64 enabled must take the XLA grid path: Mosaic
+    lowers only 32-bit scalar element types, so the compiled pallas kernel
+    would die with an opaque lowering error. (Backend is faked; if the gate
+    regresses, pallas compiles for the claimed-'tpu' target and this test
+    errors rather than mismatching.)"""
+    kw = _fixture(17)
+    assert kw["model_mags"].dtype == jnp.float64  # x64 forced by conftest
+    ref = _xla_ref(kw)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = np.asarray(cluster_lnmarginal(**kw))
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-10)
