@@ -21,6 +21,7 @@ __all__ = [
     "MIST_Isochrone",
     "MIST_BasicIsochrone",
     "MIST_EvolutionTrack",
+    "MIST_BasicEvolutionTrack",
     "MISTIsochroneGrid",
     "MISTEvolutionTrackGrid",
     "MISTBolometricCorrectionGrid",
@@ -43,4 +44,11 @@ def MIST_BasicIsochrone(bands=None, **kwargs):
 def MIST_EvolutionTrack(bands=None, **kwargs):
     """Track-parameterized MIST interpolator (mass, eep, feh, distance, AV)."""
     _, track = get_mist_interpolators(bands=bands, **kwargs)
+    return track
+
+
+def MIST_BasicEvolutionTrack(bands=None, **kwargs):
+    """Track interpolator over the basic-isochrone pairing (reference
+    mist/isochrone.py:29: MIST_BasicEvolutionTrack <-> MIST_BasicIsochrone)."""
+    _, track = get_mist_interpolators(bands=bands, basic=True, **kwargs)
     return track

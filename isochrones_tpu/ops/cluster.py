@@ -32,7 +32,14 @@ __all__ = [
     "integrate_over_eeps",
     "cluster_lnlike",
     "cluster_lnmarginal",
+    "logaddexp",
+    "logsumexp",
 ]
+
+# reference cluster_utils.py:9-27 exports jitted logaddexp/logsumexp helpers;
+# here they ARE the jnp/XLA primitives (compat aliases for reference users)
+logaddexp = jnp.logaddexp
+logsumexp = jax.scipy.special.logsumexp
 
 
 def _powerlaw_lnpdf(x, alpha, lo, hi):
