@@ -670,4 +670,8 @@ def get_mist_interpolators(bands=None, basic=False, **kwargs):
     )
     iso = IsochroneInterpolator(iso_grid.grid_data, bc_data, bands=bc_grid.bands, track=track)
     track._iso = iso
+    # reference models.py:255-257 class hooks, set per instance here (the
+    # factory owns the grid pairing, not a subclass)
+    iso.grid_type, track.grid_type = iso_cls, MISTEvolutionTrackGrid
+    iso.bc_type = track.bc_type = MISTBolometricCorrectionGrid
     return iso, track

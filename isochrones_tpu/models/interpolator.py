@@ -168,6 +168,11 @@ class ModelGridInterpolator:
     eep_replaces: Optional[str] = None
     _param_index_order: Tuple[int, ...] = (1, 2, 0, 3, 4)
     name = "model"
+    #: reference models.py:255-257 class hooks (grid classes the factory
+    #: pairing uses); None here — the MIST factory functions set them on the
+    #: instances they build
+    grid_type = None
+    bc_type = None
 
     def __init__(self, model: GridData, bc: GridData, bands: Optional[Sequence[str]] = None, eep_support=None):
         self.model = model
