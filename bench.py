@@ -480,6 +480,44 @@ class Bench:
             "times": [round(t, 1) for t in times],
         }
 
+    # ---------------------------------------- 10b. catalog-scale batch fit
+    def bench_catalog_fit(self):
+        """Whole-catalog throughput: 256 stars, every star's 64-walker
+        ensemble advanced in ONE jitted program (BatchStarFitter). The
+        production-deployment number: the reference fits catalogs one
+        MultiNest run per star (~14 min each on the baseline laptop), so the
+        per-star rate here is compared against that serial figure (engine
+        parity is benchmarked separately by the nested-fit row)."""
+        from isochrones_tpu.batch import BatchStarFitter
+        from isochrones_tpu.cluster import simulate_cluster
+
+        iso = self.iso
+        n_stars = 256 if self.on_tpu else 8
+        cat = simulate_cluster(
+            n_stars, 9.55, 0.0, 400.0, 0.05, -2.2, 0.3, 0.0, iso=iso, rng=7,
+            mass_range=(0.75, 1.1), distance_scatter=40.0,
+        )
+        fitter = BatchStarFitter(iso, cat, max_distance=3000)
+        nwalkers, nburn, niter = (64, 300, 50) if self.on_tpu else (16, 10, 5)
+        times = []
+        for rep in range(2 if self.on_tpu else 1):
+            t0 = time.perf_counter()
+            fitter.fit_mcmc(nwalkers=nwalkers, nburn=nburn, niter=niter, thin=2, seed=1 + rep)
+            times.append(time.perf_counter() - t0)
+        dt = times[-1]  # warm run (see bench_mcmc_fit)
+        med = np.nanmedian(fitter.samples[:, :, 3])  # distance draws
+        assert 200 < med < 800, med
+        rate = n_stars / dt
+        return {
+            "metric": f"catalog batch fit ({n_stars} stars x {nwalkers}w x {nburn}+{niter}, one program, warm)",
+            "value": round(rate, 2),
+            "unit": "stars/s (posterior per star)",
+            "baseline": round(1.0 / BASE_FIT_SECONDS, 6),
+            "vs_baseline": round(rate * BASE_FIT_SECONDS, 1),
+            "seconds_total": round(dt, 1),
+            "times": [round(t, 1) for t in times],
+        }
+
     # ------------------------------------------ 10. end-to-end cluster fit
     def bench_cluster_fit(self):
         """Hierarchical cluster fit wall-clock (50 stars, 800-EEP ladder,
@@ -542,6 +580,7 @@ def main():
     b.run("end-to-end ensemble-MCMC fit", b.bench_mcmc_fit)
     b.run("end-to-end NUTS fit", b.bench_nuts_fit)
     b.run("end-to-end cluster fit", b.bench_cluster_fit)
+    b.run("catalog batch fit throughput", b.bench_catalog_fit)
 
     headline = b.results[0]
     out = dict(headline) if "error" not in headline else {
