@@ -1,7 +1,7 @@
 """Multi-chip scaling: every fit engine over a `jax.sharding.Mesh`.
 
 Run from the repo root (8 virtual CPU devices stand in for an 8-chip slice;
-on a real pod slice drop --virtual and the same code shards over ICI):
+on a real pod slice pass --no-virtual and the same code shards over ICI):
 
     python examples/multichip.py            # 8 virtual CPU devices
     python examples/multichip.py --devices 4
@@ -25,8 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--devices", type=int, default=8)
-parser.add_argument("--virtual", action="store_true", default=True,
-                    help="force N virtual CPU devices (default; use a real slice otherwise)")
+parser.add_argument("--virtual", action=argparse.BooleanOptionalAction, default=True,
+                    help="force N virtual CPU devices (default; --no-virtual on a real slice)")
 args = parser.parse_args()
 
 import jax

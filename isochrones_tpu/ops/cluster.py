@@ -181,6 +181,7 @@ def cluster_lnmarginal(
     the marginal is zero."""
     if valid is None:
         valid = jnp.ones(model_mags.shape[0], dtype=bool)
+    forced_pallas = use_pallas is True
     if use_pallas is None:
         import os
 
@@ -189,6 +190,7 @@ def cluster_lnmarginal(
             use_pallas = False
         elif env in ("1", "true"):
             use_pallas = True
+            forced_pallas = True
         else:
             use_pallas = jax.default_backend() == "tpu"
     if (
@@ -200,6 +202,14 @@ def cluster_lnmarginal(
         # a user enabling x64 on a TPU backend would hit an opaque lowering
         # error — take the XLA grid path instead (interpret mode elsewhere
         # handles f64 fine, so CPU parity tests are unaffected)
+        if forced_pallas:
+            import logging
+
+            logging.getLogger("isochrones_tpu").warning(
+                "cluster: pallas kernel was explicitly requested but the "
+                "inputs are float64 on a TPU backend (Mosaic lowers 32-bit "
+                "element types only) — falling back to the XLA grid path"
+            )
         use_pallas = False
     if use_pallas:
         from .cluster_pallas import cluster_lnmarginal_pallas

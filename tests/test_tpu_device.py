@@ -88,9 +88,10 @@ def test_fused_lnpost_deterministic_on_chip():
     """The flagship fused lnpost is finite and bitwise-deterministic across
     repeated dispatches on the chip (catches nondeterministic f32 fusion or
     uninitialized-memory regressions the CPU tier can't see)."""
+    import os
     import sys
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from __graft_entry__ import entry
 
     fn, (batch,) = entry()
