@@ -405,14 +405,20 @@ class Bench:
         # fan-out as a single 2000-live run but half the sequential depth,
         # plus an empirical (run-scatter) logzerr. Reported as the MEDIAN of
         # 3 timed fits (different seeds): single samples of this row swung
-        # 46-95 s across round-2 runs.
+        # 46-95 s across round-2 runs. n_batch=64 x n_chains=16 keeps the
+        # per-walk-step fan-out at 2048 points (the chip leaves the underfill
+        # regime around 4k: 0.46M evals/s at batch 1024 vs 3.0M at 64k) while
+        # quartering the sequential step count vs the round-2 K=16 config —
+        # statistically safe now that the shrinkage schedule uses the exact
+        # harmonic batched-K increments (samplers/nested.py::_ln_x_schedule;
+        # measured sweep in docs/tpu_design_notes.md).
         n_live, n_runs = (1000, 2) if self.on_tpu else (200, 1)
         n_fit = 3 if self.on_tpu else 1
         times, logzs, esss = [], [], []
         for i in range(n_fit):
             t0 = time.perf_counter()
             res = model.fit_multinest(
-                n_live_points=n_live, n_batch=16, n_chains=32, seed=i, n_runs=n_runs
+                n_live_points=n_live, n_batch=64, n_chains=16, seed=i, n_runs=n_runs
             )
             times.append(time.perf_counter() - t0)
             assert np.isfinite(res.logz)

@@ -334,7 +334,7 @@ class BatchStarFitter:
         done = np.zeros(S, dtype=bool)
         from .samplers.nested import _RunningEvidence
 
-        running = _RunningEvidence(n_live, shape=(S,))
+        running = _RunningEvidence(n_live, shape=(S,), n_batch=n_batch)
         while n_dead_total < hard_cap:
             n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
             du, dl, live_u, live_lnl, keys, scales = batch_core(
@@ -349,7 +349,7 @@ class BatchStarFitter:
             # evidence rather than double-counting the live bound)
             running.add(dead_lnl_chunks[-1])
             live_now = np.asarray(live_lnl)
-            ln_x_last = -n_dead_total / n_live
+            ln_x_last = running.ln_x
             logz_dead, ess_now = running.status(live_now)
             logz_remain = np.max(live_now, axis=1) + ln_x_last
             frac = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain))
@@ -370,7 +370,7 @@ class BatchStarFitter:
         lnprob = np.empty((S, n_equal))
         for s in range(S):
             order, all_lnl, all_logwt, lz, probs, e = _assemble_weights(
-                dead_lnl[s], live_lnl_np[s], n_live
+                dead_lnl[s], live_lnl_np[s], n_live, n_batch=n_batch
             )
             all_u = np.concatenate([dead_u[s], live_u_np[s][order]], axis=0)
             finite = np.isfinite(all_logwt)
