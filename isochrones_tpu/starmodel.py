@@ -632,6 +632,15 @@ class BasicStarModel:
         across devices (the MPI-rank role in the reference's MultiNest)."""
         from .samplers.nested import run_nested
 
+        if jax.default_backend() == "tpu":
+            # leave the accelerator's underfill regime by default: replace 64
+            # live points per scan step with 16 walk chains each (2048-point
+            # likelihood fan-out/step — the chip runs at ~15% of peak below
+            # ~2k). Statistically safe at any K: the shrinkage schedule uses
+            # the exact harmonic batched-K increments (_ln_x_schedule;
+            # measured sweep in docs/tpu_design_notes.md).
+            kwargs.setdefault("n_batch", 64)
+            kwargs.setdefault("n_chains", 16)
         key = jax.random.PRNGKey(seed if seed is not None else 0)
         result = run_nested(
             self.lnpost_batch,
