@@ -731,6 +731,11 @@ class BasicStarModel:
         ``run_polychord`` to the shared NS driver)."""
         from .samplers.polychord import run_polychord
 
+        if jax.default_backend() == "tpu":
+            # same underfill economics as fit_multinest: fatter batched-K
+            # replacement per slice step (schedule exact at any K,
+            # _ln_x_schedule); slice chains stay at the engine's own default
+            kwargs.setdefault("n_batch", 64)
         key = jax.random.PRNGKey(seed if seed is not None else 0)
         result = run_polychord(
             self.lnpost_batch,
