@@ -272,3 +272,44 @@ def test_load_hdf_syncs_prior_bounds(tmp_path, iso):
     p = m2.prior_transform_batch(u)
     assert float(p[0, -1]) == pytest.approx(2.7)
     assert np.isfinite(m2.lnprior(np.asarray(p[0])))
+
+
+def test_fit_multinest_tpu_default_batching(iso, monkeypatch):
+    """On a TPU backend, fit_multinest defaults to the tuned batched-K
+    walk config (n_batch=64, n_chains=16 — the chip runs at ~15% of peak
+    below a ~2k-point fan-out per step; docs/tpu_design_notes.md), while
+    explicit kwargs always win. CPU backends keep the engine defaults."""
+    import jax
+
+    import isochrones_tpu.starmodel as sm
+
+    t = _true_star(iso)
+    m = SingleStarModel(iso, Teff=(t["Teff"], 100.0), J=(t["mags"]["J"], 0.02))
+
+    seen = {}
+
+    def fake_run_nested(lnpost, transform, n_params, key, **kwargs):
+        seen.update(kwargs)
+        raise _Stop
+
+    class _Stop(Exception):
+        pass
+
+    from isochrones_tpu.samplers import nested as nested_mod
+
+    monkeypatch.setattr(nested_mod, "run_nested", fake_run_nested)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(_Stop):
+        m.fit_multinest(n_live_points=100, seed=0)
+    assert seen["n_batch"] == 64 and seen["n_chains"] == 16
+
+    seen.clear()
+    with pytest.raises(_Stop):
+        m.fit_multinest(n_live_points=100, seed=0, n_batch=4, n_chains=2)
+    assert seen["n_batch"] == 4 and seen["n_chains"] == 2
+
+    seen.clear()
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    with pytest.raises(_Stop):
+        m.fit_multinest(n_live_points=100, seed=0)
+    assert "n_batch" not in seen and "n_chains" not in seen
