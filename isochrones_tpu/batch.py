@@ -256,7 +256,12 @@ class BatchStarFitter:
         """
         from functools import partial as _partial
 
-        from .samplers.nested import _assemble_weights, _mesh_constrain_leading, _nested_core
+        from .samplers.nested import (
+            _assemble_weights,
+            _logzerr_scale,
+            _mesh_constrain_leading,
+            _nested_core,
+        )
 
         S, n_live = self.n_stars, int(n_live_points)
         n_batch = max(1, min(int(n_batch), n_live // 4))
@@ -377,7 +382,7 @@ class BatchStarFitter:
             p = np.exp(all_logwt[finite] - lz)
             h = float(np.sum(p * (all_lnl[finite] - lz)))
             logz[s] = lz
-            logzerr[s] = np.sqrt(max(h, 0.0) / n_live)
+            logzerr[s] = np.sqrt(max(h, 0.0) * _logzerr_scale(n_live, n_batch))
             ess[s] = e
             if not np.isfinite(lz) or probs.sum() <= 0:
                 # star with zero posterior support everywhere (e.g. data

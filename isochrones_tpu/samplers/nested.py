@@ -56,8 +56,28 @@ def _ln_x_schedule(n_dead: int, n_live: int, n_batch: int = 1) -> np.ndarray:
     O(+0.5 nat) evidence bias at K=64, n=1000 (measured on the TPU sweep,
     docs/tpu_design_notes.md). This is the same varying-live-count weight
     assignment dynamic nested sampling uses (Higson et al. 2019)."""
-    increments = 1.0 / (n_live - (np.arange(n_dead) % n_batch))
-    return -np.cumsum(increments)
+    return -np.cumsum(_ln_x_increments(np.arange(n_dead), n_live, n_batch))
+
+
+def _ln_x_increments(idx, n_live: int, n_batch: int = 1):
+    """Per-removal |E[d ln X]| for dead-point indices ``idx`` (0-based,
+    ascending-lnL within each K-batch): 1/(n_live - j) at in-batch position
+    j. The single shared implementation of the schedule — used by both the
+    final assembly (:func:`_ln_x_schedule`) and the incremental
+    :class:`_RunningEvidence` accumulator."""
+    return 1.0 / (n_live - (np.asarray(idx) % n_batch))
+
+
+def _logzerr_scale(n_live: int, n_batch: int = 1) -> float:
+    """Effective 1/n for the classic ``logzerr = sqrt(H / n)`` estimate
+    under batched-K removal. Each removal at live count n_j contributes
+    shrinkage variance 1/n_j^2 against mean 1/n_j, so the constant-n 1/n
+    generalizes to <1/n_j^2> / <1/n_j> over the in-batch positions — equal
+    to 1/n_live at K=1 and ~(1 + K/2n)/n_live otherwise (the constant
+    formula underestimates the error by ~K/2n relative)."""
+    j = np.arange(n_batch, dtype=float)
+    inv = 1.0 / (n_live - j)
+    return float(np.sum(inv ** 2) / np.sum(inv))
 
 
 def _assemble_weights(dead_lnl: np.ndarray, live_lnl: np.ndarray, n_live: int, n_batch: int = 1):
@@ -126,7 +146,7 @@ class _RunningEvidence:
         stays aligned across chunks)."""
         k = dead_lnl_chunk.shape[-1]
         idx = np.arange(self.n_dead, self.n_dead + k)
-        increments = 1.0 / (self.n_live - (idx % self.n_batch))
+        increments = _ln_x_increments(idx, self.n_live, self.n_batch)
         ln_x = self.ln_x - np.cumsum(increments)
         ln_x_prev = np.concatenate([[self.ln_x], ln_x[:-1]])
         w = np.exp(ln_x_prev) - np.exp(ln_x)
@@ -240,9 +260,11 @@ def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_groups
 def _nested_core(lnlike_u, u0, lnl0, key, scale0, n_live, n_iter, n_chains, n_repeat, n_batch=1):
     """``n_iter`` scan steps, each removing the ``n_batch`` worst live points
     and replacing them with constrained-walk draws above the highest removed
-    likelihood (n_batch=1 is classic NS; larger batches trade a slightly
-    coarser shrinkage schedule — well within the ln Z error — for a
-    ``n_batch``-times fatter likelihood batch per device dispatch)."""
+    likelihood (n_batch=1 is classic NS; larger batches give a
+    ``n_batch``-times fatter likelihood batch per device dispatch at
+    unchanged evidence — the host assembly assigns the exact harmonic
+    batched-K shrinkage, :func:`_ln_x_schedule`). Dead points are emitted
+    ascending-lnL within each batch; the schedule depends on that order."""
     K = n_batch
 
     def one_iter(carry, _):
@@ -274,7 +296,10 @@ def _nested_core(lnlike_u, u0, lnl0, key, scale0, n_live, n_iter, n_chains, n_re
         one_iter, (key, u0, lnl0, scale0), None, length=n_iter
     )
     # (n_iter, K, ...) -> (n_iter * K, ...), preserving ascending-lnl order
-    # within each batch (the host evidence assembly assigns ln X_i = -i/n)
+    # within each batch — LOAD-BEARING: the harmonic schedule assigns the
+    # j-th in-batch point (0-based, worst first) a shrinkage of
+    # 1/(n_live - j) (_ln_x_increments); unordered batches mis-weight the
+    # evidence. Any custom ``core=`` must emit the same ordering.
     dead_u = dead_u.reshape(-1, dead_u.shape[-1])
     dead_lnl = dead_lnl.reshape(-1)
     return dead_u, dead_lnl, live_u, live_lnl, key, scale
@@ -308,8 +333,9 @@ def run_nested(
         ``evidence_tolerance`` role). ``max_iter`` is a hard cap on top.
     n_batch : live points replaced per step (1 = classic NS). Larger batches
         keep an accelerator busy: the per-dispatch likelihood batch grows
-        ``n_batch``-fold while the shrinkage schedule coarsens by at most
-        n_batch/n_live per step (use n_batch << n_live).
+        ``n_batch``-fold, and the evidence stays unbiased at any K because
+        the weight assembly uses the exact harmonic batched-K shrinkage
+        schedule (:func:`_ln_x_schedule`; clamped to n_live // 4).
     min_ess : termination additionally requires the posterior effective
         sample size to reach this value — a truncated run cannot silently
         return quantile-unreliable samples (VERDICT r1 "weak" #4).
@@ -434,7 +460,7 @@ def run_nested(
     finite = np.isfinite(all_logwt)
     p = np.exp(all_logwt[finite] - logz)
     h = float(np.sum(p * (all_lnl[finite] - logz)))
-    logzerr = float(np.sqrt(max(h, 0.0) / n_live))
+    logzerr = float(np.sqrt(max(h, 0.0) * _logzerr_scale(n_live, n_batch)))
 
     truncated = ess < min_ess
     if truncated:
@@ -596,7 +622,9 @@ def _run_nested_multi(
     # chain-correlation variance the sqrt(H/n) estimate misses), floored by
     # the averaged shrinkage estimate
     err_emp = float(np.std(logz_runs, ddof=1) / np.sqrt(R))
-    err_shrink = float(np.sqrt(np.mean(np.maximum(h_runs, 0.0)) / n_live / R))
+    err_shrink = float(
+        np.sqrt(np.mean(np.maximum(h_runs, 0.0)) * _logzerr_scale(n_live, n_batch) / R)
+    )
     logzerr = max(err_emp, err_shrink)
 
     # Z-weighted equal-weight posterior: pick runs ∝ Z_r, then within-run

@@ -633,12 +633,15 @@ class BasicStarModel:
         from .samplers.nested import run_nested
 
         if jax.default_backend() == "tpu":
-            # leave the accelerator's underfill regime by default: replace 64
-            # live points per scan step with 16 walk chains each (2048-point
-            # likelihood fan-out/step — the chip runs at ~15% of peak below
-            # ~2k). Statistically safe at any K: the shrinkage schedule uses
-            # the exact harmonic batched-K increments (_ln_x_schedule;
-            # measured sweep in docs/tpu_design_notes.md).
+            # fatten the per-step likelihood fan-out by default: 64 live
+            # points replaced per scan step x 16 walk chains each = 1024
+            # points/dispatch per run (x n_runs) — 8x the engine default's
+            # 128, cutting sequential scan steps 64-fold. (The chip only
+            # reaches peak throughput near ~16k-point batches; use
+            # n_runs=2 and/or larger n_batch to fill it further.)
+            # Statistically safe at any K: the shrinkage schedule uses the
+            # exact harmonic batched-K increments (_ln_x_schedule; measured
+            # sweep in docs/tpu_design_notes.md).
             kwargs.setdefault("n_batch", 64)
             kwargs.setdefault("n_chains", 16)
         key = jax.random.PRNGKey(seed if seed is not None else 0)

@@ -264,6 +264,13 @@ def test_ln_x_schedule_harmonic():
         r.log_s1, np.log(np.sum(w * np.exp(lnl))), rtol=1e-10
     )
     np.testing.assert_allclose(r.ln_x, ln_x[-1], rtol=1e-12)
+    # logzerr scale: exact 1/n at K=1, larger (by ~K/2n relative) otherwise
+    from isochrones_tpu.samplers.nested import _logzerr_scale
+
+    assert _logzerr_scale(500, 1) == pytest.approx(1 / 500, rel=1e-12)
+    s64 = _logzerr_scale(1000, 64)
+    assert s64 == pytest.approx((1 + 64 / 2000) / 1000, rel=0.01)
+    assert s64 > 1 / 1000
 
 
 def test_nested_aggressive_batch_evidence_unbiased():

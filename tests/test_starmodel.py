@@ -281,8 +281,6 @@ def test_fit_multinest_tpu_default_batching(iso, monkeypatch):
     explicit kwargs always win. CPU backends keep the engine defaults."""
     import jax
 
-    import isochrones_tpu.starmodel as sm
-
     t = _true_star(iso)
     m = SingleStarModel(iso, Teff=(t["Teff"], 100.0), J=(t["mags"]["J"], 0.02))
 
