@@ -36,6 +36,8 @@ from .utils import addmags, distance
 
 __all__ = [
     "Node",
+    "NodeTraversal",
+    "MyLeftAligned",
     "ObsNode",
     "DummyObsNode",
     "ModelNode",
@@ -185,19 +187,13 @@ class Node:
         print(self.label)
 
     # ------------------------------------------------------- ascii rendering
-    def _render_lines(self, prefix="", is_last=True):
-        tag = "" if self.is_root else ("└─ " if is_last else "├─ ")
-        yield prefix + tag + self._render_text()
-        child_prefix = prefix + ("" if self.is_root else ("   " if is_last else "│  "))
-        for i, c in enumerate(self.children):
-            yield from c._render_lines(child_prefix, i == len(self.children) - 1)
-
     def _render_text(self):
         return str(self.label)
 
     def print_ascii(self, fout=None, pars=None):
-        """Render the tree (reference uses asciitree, observation.py:167-172)."""
-        text = "\n".join(self._render_lines()) + "\n"
+        """Render the tree, optionally annotated with model values at ``pars``
+        (reference observation.py:167-172; annotation semantics 40-113)."""
+        text = MyLeftAligned(pars)(self)
         if fout is None:
             print(text)
         else:
@@ -402,6 +398,116 @@ class ModelNode(Node):
 
     def lnlike(self, *args, **kwargs):
         return 0
+
+
+# ----------------------------------------------------- ascii-tree rendering
+class NodeTraversal:
+    """Annotated traversal for ascii tree printing (reference
+    observation.py:40-113 subclasses asciitree's ``Traversal``; rebuilt here
+    with no asciitree dependency).
+
+    With ``pars`` (a pardict ``{system_label: [eep, age, feh, d, AV]}``),
+    ObsNodes show their flux-summed model mag and per-node lnlike, and
+    ModelNodes show each spectroscopy / limit / parallax constraint next to
+    the model's predicted value.
+    """
+
+    def __init__(self, pars=None, **kwargs):
+        self.pars = pars
+        self._model_values = None
+
+    def get_children(self, node):
+        return node.children
+
+    def get_root(self, node):
+        return node.get_root()
+
+    def _values(self, root):
+        """Every model node's band mags at ``self.pars`` (lazy, once per
+        render; host-side diagnostic path, so per-band evaluate is fine)."""
+        if self._model_values is None:
+            vals = {}
+            for n in root.get_model_nodes():
+                p = list(self.pars[n.label])
+                d = {}
+                for band in {a.band for a in n.get_obs_ancestors()}:
+                    try:
+                        d[band] = n.evaluate_mag(p, band)
+                    except Exception:  # annotation only — never fail a print
+                        d[band] = np.nan
+                vals[n.label] = d
+            self._model_values = vals
+        return self._model_values
+
+    def get_text(self, node):
+        text = node._render_text()
+        root = node.get_root()
+        spec = getattr(root, "spectroscopy", {})
+        limits = getattr(root, "limits", {})
+        parallax = getattr(root, "parallax", {})
+        AV = getattr(root, "AV", {})
+        if self.pars is not None:
+            if isinstance(node, ObsNode) and not isinstance(node, DummyObsNode):
+                try:
+                    mv = self._values(root)
+                    text += "; model={:.2f} ({})".format(node.model_mag(mv), node.lnlike(mv))
+                except Exception:
+                    pass
+            if isinstance(node, ModelNode):
+                p = list(self.pars[node.label])
+                for k, v in spec.get(node.label, {}).items():
+                    text += f", {k}={v}"
+                    try:
+                        modval = node.evaluate(p, k)
+                        lnl = -0.5 * (modval - v[0]) ** 2 / v[1] ** 2
+                        text += f"; model={modval} ({lnl})"
+                    except Exception:
+                        pass
+                for k, v in limits.get(node.label, {}).items():
+                    text += f", {k} limits={v}"
+                if node.index in parallax:
+                    plx, u_plx = parallax[node.index]
+                    modval = 1000.0 / p[3]
+                    lnl = -0.5 * (modval - plx) ** 2 / u_plx ** 2
+                    text += f", parallax={(plx, u_plx)}; model={modval} ({lnl})"
+                if node.index in AV:
+                    av, u_av = AV[node.index]
+                    modval = p[4]
+                    lnl = -0.5 * (modval - av) ** 2 / u_av ** 2
+                    text += f", AV={(av, u_av)}; model={modval} ({lnl})"
+                text += f": {self.pars[node.label]}"
+        elif isinstance(node, ModelNode):
+            for k, v in spec.get(node.label, {}).items():
+                text += f", {k}={v}"
+            if node.index in parallax:
+                text += f", parallax={parallax[node.index]}"
+            if node.index in AV:
+                text += f", AV={AV[node.index]}"
+            for k, v in limits.get(node.label, {}).items():
+                text += f", {k} limits={v}"
+        return text
+
+
+class MyLeftAligned:
+    """Left-aligned box rendering of a tree (reference observation.py:116-125
+    subclasses asciitree's ``LeftAligned``; rebuilt dependency-free)."""
+
+    pars = None
+
+    def __init__(self, pars=None, **kwargs):
+        self.pars = pars
+        self.traverse = NodeTraversal(pars)
+
+    def __call__(self, node):
+        return "\n".join(self._lines(node)) + "\n"
+
+    def _lines(self, node, prefix="", is_last=True, top=True):
+        tag = "" if top else ("└─ " if is_last else "├─ ")
+        yield prefix + tag + self.traverse.get_text(node)
+        child_prefix = prefix + ("" if top else ("   " if is_last else "│  "))
+        kids = self.traverse.get_children(node)
+        for i, c in enumerate(kids):
+            yield from self._lines(c, child_prefix, i == len(kids) - 1, top=False)
 
 
 # ----------------------------------------------------------------- values
@@ -805,6 +911,15 @@ class ObservationTree(Node):
                 d[f"{s}_{j}"] = [p[i + j], age, feh, dist, AV]
             i += N[s] + 4
         return d
+
+    def print_ascii(self, fout=None, p=None):
+        """Render the tree; with ``p`` (flat vector or pardict), annotate
+        every node with model values and lnlikes (reference
+        observation.py:1175-1179)."""
+        pardict = None
+        if p is not None:
+            pardict = p if isinstance(p, dict) else self.p2pardict([float(x) for x in p])
+        super().print_ascii(fout, pardict)
 
     def pardict2p(self, pardict):
         """reference observation.py:1130-1140"""

@@ -324,3 +324,49 @@ def test_limits_hdf_roundtrip_preserves_infinities(tmp_path, iso):
     (lo, hi), = [v for d in t2.limits.values() for v in d.values()]
     assert lo == pytest.approx(logg - 1.0)
     assert hi == np.inf
+
+
+# -------------------------------------------------------------- ascii render
+def test_print_ascii_annotated(iso):
+    """print_ascii with pars annotates model mags/lnlikes per node
+    (reference observation.py:40-113, 1175-1179)."""
+    import io
+
+    from isochrones_tpu.observation import MyLeftAligned, NodeTraversal
+
+    Teff, logg, mags = _true_star(iso)
+    m = StarModel(
+        iso,
+        Teff=(Teff, 100.0),
+        J=(mags["J"], 0.02),
+        parallax=(5.0, 0.05),
+    )
+    m.obs.add_limit(logg=(3.0, 5.5))
+
+    # plain render: structure + constraint labels, no model values
+    buf = io.StringIO()
+    m.obs.print_ascii(fout=buf)
+    plain = buf.getvalue()
+    assert "J=" in plain and "0_0" in plain
+    assert "Teff=" in plain and "logg limits=" in plain and "parallax=" in plain
+    assert "model=" not in plain
+
+    # annotated render: model mags, per-constraint lnlikes, par vector
+    p = [60.0, 9.0, 0.0, 200.0, 0.1]
+    buf = io.StringIO()
+    m.obs.print_ascii(fout=buf, p=p)
+    ann = buf.getvalue()
+    assert ann.count("model=") >= 2  # photometry node + Teff spectroscopy
+    assert "parallax=(5.0, 0.05); model=5.0" in ann
+    assert ": [" in ann  # par vector echoed on the model node
+    # the J-band annotation shows the actual interpolated model mag
+    mag_model = float(np.squeeze(iso.interp_mag(p, ["J"])[3]))
+    assert f"model={mag_model:.2f}" in ann
+
+    # compat classes render standalone (asciitree-free)
+    pardict = m.obs.p2pardict([float(x) for x in p])
+    text = MyLeftAligned(pardict)(m.obs)
+    assert text == ann
+    trav = NodeTraversal()
+    assert trav.get_children(m.obs) == m.obs.children
+    assert trav.get_root(m.obs.children[0]) is m.obs
