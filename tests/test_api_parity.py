@@ -1,0 +1,150 @@
+"""Reference API-surface parity sweep, made durable.
+
+AST-parses every module under ``/root/reference/isochrones`` (no import — the
+reference's numba/astropy deps need not be installed) and asserts every
+top-level public class/function name resolves somewhere in the mapped
+``isochrones_tpu`` module(s). This is the repeatable version of the manual
+sweep behind commit b0adb2a; it catches any future drift between the
+reference surface and our compat layer.
+
+Skips cleanly when the reference checkout is absent (e.g. CI without the
+upstream tree).
+"""
+
+import ast
+import importlib
+import os
+
+import pytest
+
+REFERENCE_ROOT = "/root/reference/isochrones"
+
+# reference module (relative to the package root) -> our module(s) that must
+# collectively provide its public names
+MODULE_MAP = {
+    "eep": ["isochrones_tpu.eep_fit"],
+    "isochrone": ["isochrones_tpu.isochrone"],
+    "cluster_utils": ["isochrones_tpu.ops.cluster", "isochrones_tpu.cluster"],
+    "populations": ["isochrones_tpu.populations"],
+    "cluster": ["isochrones_tpu.cluster"],
+    "fit": ["isochrones_tpu.fit"],
+    "priors": ["isochrones_tpu.priors"],
+    "extinction": ["isochrones_tpu.extinction"],
+    "grid": ["isochrones_tpu.grids.base"],
+    "likelihood": ["isochrones_tpu.ops.likelihood"],
+    "starfit": ["isochrones_tpu.starfit"],
+    "starmodel": ["isochrones_tpu.starmodel", "isochrones_tpu.treemodel"],
+    "interp": ["isochrones_tpu.interp"],
+    "mags": ["isochrones_tpu.ops.mags"],
+    "observation": ["isochrones_tpu.observation"],
+    "summary": ["isochrones_tpu.summary"],
+    "catalog": ["isochrones_tpu.catalog"],
+    "models": ["isochrones_tpu.models", "isochrones_tpu.grids.base"],
+    "logger": ["isochrones_tpu.logger"],
+    "bc": ["isochrones_tpu.grids.base"],
+    "utils": ["isochrones_tpu.utils"],
+    "config": ["isochrones_tpu.config"],
+    "query.query": ["isochrones_tpu.query.query"],
+    "query.vizier": ["isochrones_tpu.query.vizier"],
+    "query.catalog": ["isochrones_tpu.query.catalog"],
+    "mist": ["isochrones_tpu.mist"],
+    "mist.eep": ["isochrones_tpu.grids.mist_eep"],
+    "mist.isochrone": ["isochrones_tpu.mist"],
+    "mist.models": ["isochrones_tpu.grids.mist"],
+    "mist.bc": ["isochrones_tpu.grids.mist"],
+    "mist.utils": ["isochrones_tpu.grids.mist_eep"],
+}
+
+# intentional deviations: reference names we deliberately do not provide,
+# each with the reason on record
+ALLOWED_MISSING = {
+    # dead code in the reference itself (never imported; dartmouth-era)
+    "dartmouth": "*",
+    "yapsi": "*",
+    "schools": "*",
+    "priors_old": "*",
+}
+
+
+def _public_names(path):
+    import warnings
+
+    with warnings.catch_warnings():
+        # the reference has a few pre-3.12 invalid escape sequences
+        warnings.simplefilter("ignore", SyntaxWarning)
+        tree = ast.parse(open(path).read())
+    out = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            if not node.name.startswith("_"):
+                out.append(node.name)
+    return out
+
+
+def _reference_surface():
+    surface = {}
+    for root, dirs, files in os.walk(REFERENCE_ROOT):
+        dirs[:] = [d for d in dirs if d not in ("tests", "__pycache__", "data")]
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), REFERENCE_ROOT)
+            mod = rel[:-3].replace(os.sep, ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")] or "__init__"
+            names = _public_names(os.path.join(root, f))
+            if names:
+                surface[mod] = names
+    return surface
+
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_ROOT), reason="reference checkout not present"
+)
+
+
+def test_every_reference_public_name_resolves():
+    surface = _reference_surface()
+    assert surface, "reference surface scan came back empty"
+
+    missing = []
+    unmapped = []
+    for refmod, names in surface.items():
+        top = refmod.split(".")[0]
+        if ALLOWED_MISSING.get(refmod) == "*" or ALLOWED_MISSING.get(top) == "*":
+            continue
+        targets = MODULE_MAP.get(refmod)
+        if targets is None:
+            if refmod == "__init__":
+                targets = ["isochrones_tpu"]
+            else:
+                unmapped.append(f"{refmod} ({names})")
+                continue
+        mods = [importlib.import_module(t) for t in targets]
+        for n in names:
+            if ALLOWED_MISSING.get(f"{refmod}.{n}"):
+                continue
+            if not any(hasattr(m, n) for m in mods):
+                missing.append(f"{refmod}.{n} (looked in {targets})")
+
+    assert not unmapped, "reference modules with no MODULE_MAP entry:\n" + "\n".join(unmapped)
+    assert not missing, "reference public names with no counterpart:\n" + "\n".join(missing)
+
+
+def test_package_level_exports_match():
+    """Everything importable as ``from isochrones import X`` at the package
+    top level works as ``from isochrones_tpu import X`` too."""
+    init = os.path.join(REFERENCE_ROOT, "__init__.py")
+    tree = ast.parse(open(init).read())
+    wanted = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and node.level:
+            for a in node.names:
+                name = a.asname or a.name
+                if not name.startswith("_"):
+                    wanted.add(name)
+    assert wanted, "reference __init__ scan came back empty"
+
+    pkg = importlib.import_module("isochrones_tpu")
+    missing = sorted(n for n in wanted if not hasattr(pkg, n))
+    assert not missing, f"missing package-level exports: {missing}"
