@@ -19,6 +19,7 @@ import glob
 import itertools
 import os
 import re
+from functools import partial
 
 import numpy as np
 
@@ -195,6 +196,7 @@ class MISTEvolutionTrackGrid(MISTModelGrid):
         super().__init__(*args, **kwargs)
         self._approx_eep_interp = None
         self._eep_interps = None
+        self._primary_eeps_arr = None
 
     @property
     def datadir(self):
@@ -293,6 +295,21 @@ class MISTEvolutionTrackGrid(MISTModelGrid):
     def get_feh_cache_filename(self, feh, interpolated=False):
         tag = "_interpolated" if interpolated else ""
         return os.path.join(self.get_directory_path(feh), f"all_masses{tag}.parquet")
+
+    def get_feh_hdf_filename(self, feh):
+        """Per-feh all-masses cache path (reference mist/models.py:297-299).
+        Reference-named alias: this rebuild caches parquet, not HDF."""
+        return self.get_feh_cache_filename(feh)
+
+    def get_feh_interpolated_hdf_filename(self, feh):
+        """Per-feh completed-track cache path (reference mist/models.py:301-303).
+        Reference-named alias: this rebuild caches parquet, not HDF."""
+        return self.get_feh_cache_filename(feh, interpolated=True)
+
+    @property
+    def masses(self):
+        """Initial-mass grid values (reference mist/models.py:186-190)."""
+        return np.array(self.df.index.levels[1])
 
     def df_all_feh(self, feh):
         """All masses at one feh (reference mist/models.py:297-309)."""
@@ -525,6 +542,13 @@ class MISTEvolutionTrackGrid(MISTModelGrid):
             self._eep_interps = self.get_eep_interps()
         return self._eep_interps
 
+    @property
+    def primary_eeps_arr(self):
+        """Primary EEPs as an array (reference mist/models.py:530-534)."""
+        if self._primary_eeps_arr is None:
+            self._primary_eeps_arr = np.array(self.primary_eeps)
+        return self._primary_eeps_arr
+
     def get_eep_fit(self, mass, age, feh, approx=False):
         """Fast eep(mass, age, feh) via the fitted curves
         (reference mist/models.py:536-556)."""
@@ -532,7 +556,7 @@ class MISTEvolutionTrackGrid(MISTModelGrid):
         eep = float(eep_fn(np.atleast_1d(age), *pars)[0])
         if approx:
             return eep
-        i = int(np.searchsorted(np.asarray(self.primary_eeps), eep))
+        i = int(np.searchsorted(self.primary_eeps_arr, eep))
         if i - 1 < len(self.eep_interps):
             coeffs = np.asarray(self.eep_interps[max(i - 1, 0)]([feh, mass], "all")).squeeze()
             return float(np.polyval(coeffs, age))
@@ -544,6 +568,49 @@ class MISTEvolutionTrackGrid(MISTModelGrid):
             mass, age, feh, eep,
         )
         return np.nan
+
+    def view_eep_fit(self, mass, feh, plot_fit=True, order=5, p0=None, plot_p0=False, ax=None):
+        """Diagnostic plot of the eep(age) fit for one track (reference
+        mist/models.py:558-596; holoviews there, matplotlib here).
+
+        Returns the matplotlib Axes with the track's (age, eep) points,
+        primary-EEP markers, and (optionally) the fitted ``eep_fn`` curve.
+        """
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+        from scipy.optimize import curve_fit
+
+        subdf = self.df.xs((mass, feh), level=("initial_mass", "initial_feh"))
+        ages = subdf["age"].values
+        eeps = subdf["eep"].values
+
+        if ax is None:
+            _, ax = plt.subplots(figsize=(10, 5))
+        ax.plot(ages, eeps, "+", color="C0", label="track")
+        prim = [(subdf.loc[e, "age"], e) for e in self.primary_eeps
+                if e < eeps.max() and e in subdf.index]
+        if prim:
+            pa, pe = zip(*prim)
+            ax.plot(pa, pe, "o", color="C1", ms=8, label="primary EEPs")
+
+        if p0 is None:
+            p0 = eep_fn_p0(ages, eeps, order=order)
+        m = eeps < 808
+        if plot_fit:
+            pfit, _ = curve_fit(
+                partial(eep_fn, order=order), ages[m], eeps[m], p0,
+                jac=partial(eep_jac, order=order),
+            )
+            ax.plot(ages, eep_fn(ages, *pfit, order=order), "-", color="C2", label="fit")
+        if plot_p0:
+            ax.plot(ages, eep_fn(ages, *p0, order=order), "--", color="C3", label="p0")
+        ax.set_xlabel("log10(age)")
+        ax.set_ylabel("EEP")
+        ax.set_title(f"mass={mass}, feh={feh}")
+        ax.legend()
+        return ax
 
 
 def _dev(x):

@@ -10,6 +10,7 @@ subclasses — the interpolators are already fully configured by their grids.
 from __future__ import annotations
 
 from ..grids.mist import (
+    MISTBasicIsochroneGrid,
     MISTBolometricCorrectionGrid,
     MISTEvolutionTrackGrid,
     MISTIsochroneGrid,
@@ -35,6 +36,15 @@ def MIST_Isochrone(bands=None, **kwargs):
     return iso
 
 
+def _bind_class_hooks(factory, grid_type, basic=False):
+    """Mirror the reference's class attributes (mist/isochrone.py:6-33) on
+    the factory functions; instances get the same hooks from their grids."""
+    factory.grid_type = grid_type
+    factory.bc_type = MISTBolometricCorrectionGrid
+    factory.eep_bounds = (0, 1710)
+    factory.basic = basic
+
+
 def MIST_BasicIsochrone(bands=None, **kwargs):
     """Same over the basic_isos tables (reference mist/isochrone.py:16-18)."""
     iso, _ = get_mist_interpolators(bands=bands, basic=True, **kwargs)
@@ -52,3 +62,9 @@ def MIST_BasicEvolutionTrack(bands=None, **kwargs):
     mist/isochrone.py:29: MIST_BasicEvolutionTrack <-> MIST_BasicIsochrone)."""
     _, track = get_mist_interpolators(bands=bands, basic=True, **kwargs)
     return track
+
+
+_bind_class_hooks(MIST_Isochrone, MISTIsochroneGrid)
+_bind_class_hooks(MIST_BasicIsochrone, MISTBasicIsochroneGrid, basic=True)
+_bind_class_hooks(MIST_EvolutionTrack, MISTEvolutionTrackGrid)
+_bind_class_hooks(MIST_BasicEvolutionTrack, MISTEvolutionTrackGrid, basic=True)

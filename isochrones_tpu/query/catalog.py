@@ -40,6 +40,13 @@ class Catalog:
         """(ra, dec) at the catalog epoch (reference catalog.py:34-42)."""
         return self.query.coords_at_epoch(self.epoch)
 
+    @property
+    def coords(self):
+        """(ra, dec) arrays of the result rows in degrees (reference
+        catalog.py:27-31; numpy arrays here — no astropy dependency)."""
+        t = self.table
+        return (np.asarray(t["_RAJ2000"], dtype=float), np.asarray(t["_DEJ2000"], dtype=float))
+
     def _run_query(self):
         raise NotImplementedError
 

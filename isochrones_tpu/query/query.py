@@ -53,6 +53,12 @@ class Query:
         self.epoch = float(epoch)
         self.radius = float(radius)  # arcsec
 
+    @property
+    def coords(self):
+        """(ra, dec) of the query point in degrees (reference
+        query/query.py:35-39; plain tuple here — no astropy dependency)."""
+        return (self.ra, self.dec)
+
     def coords_at_epoch(self, epoch):
         """Proper-motion-corrected (ra, dec) at ``epoch`` (the role of
         query_coords, reference catalog.py:34-42)."""

@@ -148,3 +148,54 @@ def test_package_level_exports_match():
     pkg = importlib.import_module("isochrones_tpu")
     missing = sorted(n for n in wanted if not hasattr(pkg, n))
     assert not missing, f"missing package-level exports: {missing}"
+
+
+# reference class members we deliberately do not provide
+ALLOWED_MISSING_MEMBERS = {
+    # `def foo(self): return self._foo` — debug leftover in the reference,
+    # never called anywhere in its codebase
+    "mist.models.MISTModelGrid.foo",
+}
+
+
+def test_every_reference_class_member_resolves():
+    """Method/class-attr-level sweep: every public method and class attribute
+    of every reference class exists on our counterpart class (or factory)."""
+    import warnings
+
+    missing = []
+    for root, dirs, files in os.walk(REFERENCE_ROOT):
+        dirs[:] = [d for d in dirs if d not in ("tests", "__pycache__", "data")]
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), REFERENCE_ROOT)[:-3].replace(os.sep, ".")
+            if rel.endswith(".__init__"):
+                rel = rel[: -len(".__init__")] or "__init__"
+            targets = MODULE_MAP.get(rel)
+            if targets is None:
+                continue
+            mods = [importlib.import_module(t) for t in targets]
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", SyntaxWarning)
+                tree = ast.parse(open(os.path.join(root, f)).read())
+            for node in tree.body:
+                if not isinstance(node, ast.ClassDef) or node.name.startswith("_"):
+                    continue
+                ours = next((getattr(m, node.name) for m in mods if hasattr(m, node.name)), None)
+                if ours is None:
+                    continue  # covered (or flagged) by the name-level sweep
+                for member in node.body:
+                    names = []
+                    if isinstance(member, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                        names = [member.name]
+                    elif isinstance(member, ast.Assign):
+                        names = [t.id for t in member.targets if isinstance(t, ast.Name)]
+                    for n in names:
+                        key = f"{rel}.{node.name}.{n}"
+                        if n.startswith("_") or key in ALLOWED_MISSING_MEMBERS:
+                            continue
+                        if not hasattr(ours, n):
+                            missing.append(key)
+
+    assert not missing, "reference class members with no counterpart:\n" + "\n".join(missing)

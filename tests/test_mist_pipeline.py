@@ -243,3 +243,24 @@ def test_offline_gating(tmp_path, monkeypatch):
     grid = MISTEvolutionTrackGrid()
     with pytest.raises(RuntimeError, match="Offline"):
         grid.download_tarball(feh=0.0)
+
+
+def test_track_grid_accessors(mist_env):
+    """masses/primary_eeps_arr/cache-path aliases/view_eep_fit
+    (reference mist/models.py:186-190, 297-303, 530-534, 558-596)."""
+    from isochrones_tpu.grids.mist import MISTEvolutionTrackGrid
+
+    MISTEvolutionTrackGrid.primary_eeps = (1, 20, 40, 60)
+    try:
+        grid = MISTEvolutionTrackGrid()
+        ms = grid.masses
+        assert ms.ndim == 1 and len(ms) >= 2 and np.all(np.diff(ms) > 0)
+        assert np.array_equal(grid.primary_eeps_arr, np.array(grid.primary_eeps))
+        assert grid.get_feh_hdf_filename(0.0) == grid.get_feh_cache_filename(0.0)
+        assert grid.get_feh_interpolated_hdf_filename(0.0).endswith("_interpolated.parquet")
+
+        ax = grid.view_eep_fit(float(ms[0]), 0.0, plot_p0=True)
+        assert ax.get_title() == f"mass={float(ms[0])}, feh=0.0"
+        assert len(ax.lines) >= 3  # track, fit, p0 (+ primary-EEP markers)
+    finally:
+        MISTEvolutionTrackGrid.primary_eeps = (1, 202, 353, 454, 605, 631, 707, 808, 1409, 1710)
