@@ -12,8 +12,10 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Generate a synthetic cluster CMD table.")
     parser.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu); env vars are overridden in some TPU environments")
-    parser.add_argument("N", type=int, help="number of stars")
-    parser.add_argument("--output", "-O", default="cmd.csv")
+    parser.add_argument("N", type=int, nargs="?", default=None, help="number of stars")
+    parser.add_argument("-N", dest="N_flag", type=int, default=None,
+                        help="number of stars (reference-compat flag form)")
+    parser.add_argument("--output", "-O", "-o", default="cmd.csv")
     parser.add_argument("--models", default="mist")
     parser.add_argument("--bands", default="JHK")
     parser.add_argument("--seed", type=int, default=None)
@@ -22,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--distance", type=float, default=None)
     parser.add_argument("--AV", type=float, default=None)
     args = parser.parse_args(argv)
+    if args.N is None:
+        args.N = args.N_flag
+    if args.N is None:
+        parser.error("number of stars required (positional or -N)")
     if args.platform:
         import jax
 

@@ -26,6 +26,14 @@ def build_parser():
     parser.add_argument("--max_iter", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--bands", nargs="*", default=None, help="Additional band(s) to include in samples.")
+    parser.add_argument("--gaia", action="store_true",
+                        help="condition on the closest Gaia source's parallax/photometry at the ini RA/dec (native; the reference gates this on the external tgastars package)")
+    parser.add_argument("--write_ini", action="store_true",
+                        help="with --gaia, persist the queried values into star.ini")
+    parser.add_argument("--rootdir", type=str, default=None,
+                        help="resolve folders relative to this directory")
+    parser.add_argument("--gaia_radius", type=float, default=5.0,
+                        help="Gaia query radius in arcsec")
     parser.add_argument("--tree", action="store_true", help="use the tree-based StarModel (resolved systems)")
     # multi-host (DCN) fleet sharding: each process fits its shard of folders
     # (the reference scripts/batch_starfit SLURM-array role, SURVEY §2.8c)
@@ -94,6 +102,10 @@ def main(argv=None):
             logger=logger,
             bands=args.bands,
             starmodel_type=starmodel_type,
+            gaia=args.gaia,
+            write_ini_file=args.write_ini,
+            rootdir=args.rootdir,
+            gaia_radius=args.gaia_radius,
             **fit_kwargs,
         )
         del mod

@@ -15,9 +15,72 @@ import numpy as np
 
 from .logger import getLogger, initLogging
 
-__all__ = ["starfit", "batch_starfit_script"]
+__all__ = ["starfit", "batch_starfit_script", "get_gaia_data", "update_ini_with_gaia"]
 
 NSTARS = {"single": 1, "binary": 2, "triple": 3}
+
+
+def get_gaia_data(ra, dec, radius=5.0, brightest=False):
+    """Closest (or brightest) Gaia source's parallax + photometry at
+    ``(ra, dec)``.
+
+    Native replacement for the reference's optional tgastars integration
+    (scripts/starfit:28-60 gates ``--gaia`` on an external package; here the
+    in-repo query layer provides it). Returns
+    ``{"parallax": (plx_mas, unc), "G": (mag, unc), ...}``.
+    """
+    from .query import Gaia, Query
+
+    cat = Gaia(Query(float(ra), float(dec), radius=float(radius)))
+    row = cat.brightest if brightest else cat.closest
+    data = {"parallax": (float(row["Plx"]), float(row["e_Plx"]))}
+    data.update(cat.get_photometry(brightest=brightest))
+    return data
+
+
+def update_ini_with_gaia(ini_path, data):
+    """Write Gaia-derived observables into ``star.ini``: top-level parallax
+    (replacing any existing one) plus a ``[gaia]`` photometry section."""
+    lines = open(ini_path).read().splitlines()
+    out, in_gaia, seen_section = [], False, False
+    for ln in lines:
+        s = ln.strip()
+        if s.startswith("["):
+            seen_section = True
+            in_gaia = s.lower() == "[gaia]"
+            if in_gaia:
+                continue
+        if in_gaia:
+            continue
+        if not seen_section and s.lower().startswith("parallax"):
+            continue
+        out.append(ln)
+    plx, e_plx = data["parallax"]
+    insert_at = next((i for i, ln in enumerate(out) if ln.strip().startswith("[")), len(out))
+    out.insert(insert_at, f"parallax = {plx}, {e_plx}")
+    phot = {k: v for k, v in data.items() if k != "parallax"}
+    if phot:
+        out.append("")
+        out.append("[gaia]")
+        for band, (mag, unc) in phot.items():
+            out.append(f"{band} = {mag}, {unc}")
+    with open(ini_path, "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
+def _ini_radec(ini_path):
+    from .iniparse import parse_ini, parse_value
+
+    c = parse_ini(ini_path)
+    ra = dec = None
+    for k, v in c.items():
+        if k in ("RA", "ra"):
+            ra = parse_value(v)
+        elif k in ("dec", "Dec"):
+            dec = parse_value(v)
+    if ra is None or dec is None:
+        raise ValueError(f"gaia mode needs RA/dec in {ini_path}")
+    return float(ra), float(dec)
 
 
 def starfit(
@@ -34,19 +97,33 @@ def starfit(
     ini_file="star.ini",
     no_plots=False,
     bands=None,
+    gaia=False,
+    write_ini_file=False,
+    rootdir=None,
+    gaia_radius=5.0,
     **kwargs,
 ):
     """Run the starfit routine for a folder (reference starfit.py:18-161).
 
     feh_prior : 'flat' or 'local'
+    gaia : condition the fit on the closest Gaia source's parallax (and
+        photometry, flat-model path) queried at the ini file's RA/dec —
+        the reference's ``--gaia`` role (scripts/starfit:28-60), natively.
+    write_ini_file : with ``gaia``, persist the queried values into the ini
+        (required for the tree-model path to pick up Gaia photometry).
+    rootdir : resolve ``folder`` relative to this directory.
     """
     from .priors import FlatPrior
     from .starmodel import BasicStarModel
     from .treemodel import StarModel
 
+    if rootdir is not None:
+        folder = os.path.join(rootdir, folder)
+
     Mod = BasicStarModel if starmodel_type is None else starmodel_type
     ichrone = None
     mod = None
+    gaia_data = None
 
     for mult in multiplicities:
         model_filename = f"{models}_starmodel_{mult}.h5"
@@ -70,12 +147,30 @@ def starfit(
 
                 if fit_model or overwrite:
                     ini_path = os.path.join(folder, ini_file)
+                    if gaia and gaia_data is None:
+                        ra, dec = _ini_radec(ini_path)
+                        gaia_data = get_gaia_data(ra, dec, radius=gaia_radius)
+                        logger.info("Gaia conditioning for %s: %s", folder, gaia_data)
+                        if write_ini_file:
+                            update_ini_with_gaia(ini_path, gaia_data)
                     if ichrone is None:
                         from .isochrone import get_ichrone
 
                         ini_bands = StarModel.get_bands(ini_path)
                         all_bands = ini_bands if bands is None else list(bands) + ini_bands
-                        ichrone = get_ichrone(models, list(set(all_bands)))
+                        gaia_bands = [b for b in (gaia_data or {}) if b != "parallax"]
+                        try:
+                            ichrone = get_ichrone(models, list(set(all_bands + gaia_bands)))
+                        except Exception:
+                            if not gaia_bands:
+                                raise
+                            # model grid lacks the Gaia system: parallax-only
+                            logger.warning(
+                                "%s grid lacks Gaia bands %s; conditioning on parallax only.",
+                                models, gaia_bands,
+                            )
+                            gaia_data = {"parallax": gaia_data["parallax"]}
+                            ichrone = get_ichrone(models, list(set(all_bands)))
 
                     if Mod is BasicStarModel or issubclass(Mod, BasicStarModel) and not issubclass(Mod, StarModel):
                         # flat model path: parse ini into kwargs
@@ -99,11 +194,19 @@ def starfit(
                                     obs_kwargs["dec"] = val
                                 elif k == "maxAV":
                                     obs_kwargs["maxAV"] = val
+                        if gaia_data is not None:
+                            for k, v in gaia_data.items():
+                                if k == "parallax" or k in ichrone.bc.column_index:
+                                    obs_kwargs[k] = tuple(v)
                         mod = Mod(ichrone, N=NSTARS[mult], name=name, directory=folder,
                                   use_emcee=use_emcee, **obs_kwargs)
                     else:
                         mod = Mod.from_ini(ichrone, folder, use_emcee=use_emcee,
                                            N=NSTARS[mult], ini_file=ini_file, name=name)
+                        if gaia_data is not None and not write_ini_file:
+                            # tree built from the on-disk ini: photometry needs
+                            # write_ini_file; parallax can be added post-hoc
+                            mod.obs.add_parallax(gaia_data["parallax"])
 
                     if feh_prior == "flat":
                         mod.set_prior(feh=FlatPrior((ichrone.minfeh, ichrone.maxfeh)))

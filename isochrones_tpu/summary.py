@@ -25,6 +25,7 @@ __all__ = [
     "get_quantiles",
     "quantile_worker",
     "get_summary_df",
+    "write_results_txt",
 ]
 
 DEFAULT_QS = (0.05, 0.16, 0.5, 0.84, 0.95)
@@ -199,6 +200,32 @@ def get_summary_df(names=None, pool=None, filename=None, **kwargs):
     if filename is not None:
         _write(df, filename)
     return df
+
+
+RESULTS_PROPS = ("mass", "radius", "Teff", "logg", "feh", "age", "distance", "AV")
+
+
+def write_results_txt(folder, models="mist", mult="single", props=RESULTS_PROPS):
+    """Per-folder ``{models}_{mult}_results.txt`` with med/lo/hi (50/15.85/
+    84.15%) of each physical property (the reference
+    ``scripts/starfit-summarize`` folders mode, lines 75-110)."""
+    from .starmodel import BasicStarModel
+
+    mod = BasicStarModel.load_hdf(os.path.join(folder, f"{models}_starmodel_{mult}.h5"))
+    ds = mod.derived_samples
+    results_file = os.path.join(folder, f"{models}_{mult}_results.txt")
+    vals = []
+    for p in props:
+        col = next((c for c in (p, f"{p}_0_0", f"{p}_0") if c in ds.columns), None)
+        if col is None:
+            vals.append("nan nan nan")
+            continue
+        med, lo, hi = ds[col].quantile([0.5, 0.1585, 0.8415])
+        vals.append(f"{med:.3f} {lo:.3f} {hi:.3f}")
+    with open(results_file, "w") as f:
+        f.write(" ".join(f"{p} {p}_lo {p}_hi" for p in props) + " \n")
+        f.write(" ".join(vals) + " \n")
+    return results_file
 
 
 def _write(df, filename):

@@ -199,3 +199,50 @@ def test_every_reference_class_member_resolves():
                             missing.append(key)
 
     assert not missing, "reference class members with no counterpart:\n" + "\n".join(missing)
+
+
+# reference script -> our CLI module (console entry points in pyproject)
+SCRIPT_MAP = {
+    "starfit": "isochrones_tpu/cli/starfit.py",
+    "batch_starfit": "isochrones_tpu/cli/batch.py",
+    "starfit-summarize": "isochrones_tpu/cli/summarize.py",
+    "starmodel-select": "isochrones_tpu/cli/select.py",
+    "clusterfit.py": "isochrones_tpu/cli/clusterfit.py",
+    "mist-initialize.py": "isochrones_tpu/cli/initialize.py",
+    "generate_cmd.py": "isochrones_tpu/cli/generate_cmd.py",
+}
+
+# reference flags with no counterpart, with the reason on record
+ALLOWED_MISSING_FLAGS = {
+    # schwimmbad-style --ncores exists under the same name; MPI pools are
+    # replaced by --mpi (multiprocessing) + starfit --multihost (DCN)
+}
+
+
+def _argparse_flags(path):
+    import re
+
+    txt = open(path).read()
+    out = set()
+    for m in re.finditer(r"add_argument\(([^)]*)\)", txt, re.S):
+        for s in re.findall(r"""["']([^"']+)["']""", m.group(1)):
+            if s.startswith("-"):
+                out.add(s)
+    return out
+
+
+def test_cli_flag_parity():
+    """Every reference console-script flag is accepted by our CLI."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scripts_root = os.path.join(os.path.dirname(REFERENCE_ROOT), "scripts")
+    if not os.path.isdir(scripts_root):
+        pytest.skip("reference scripts not present")
+    missing = []
+    for ref_name, ours_rel in SCRIPT_MAP.items():
+        ref_flags = _argparse_flags(os.path.join(scripts_root, ref_name))
+        our_flags = _argparse_flags(os.path.join(repo_root, ours_rel))
+        for f in sorted(ref_flags - our_flags):
+            key = f"{ref_name}:{f}"
+            if key not in ALLOWED_MISSING_FLAGS:
+                missing.append(key)
+    assert not missing, "reference CLI flags with no counterpart:\n" + "\n".join(missing)

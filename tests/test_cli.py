@@ -70,7 +70,7 @@ def test_generate_cmd_and_fit_catalog_cli(tmp_path):
     from isochrones_tpu.cli.generate_cmd import main as gen_main
 
     cmd_file = str(tmp_path / "cmd.csv")
-    rc = gen_main(["16", "--models", "synthetic", "--seed", "3", "-O", cmd_file])
+    rc = gen_main(["-N", "16", "--models", "synthetic", "--seed", "3", "-o", cmd_file])
     assert rc == 0
     assert os.path.exists(cmd_file)
 
@@ -98,3 +98,87 @@ def test_batch_starfit_script(tmp_path):
     text = open(script).read()
     assert "#SBATCH" in text
     assert "xargs starfit" in text
+
+
+def _fake_gaia_table(ra, dec, radius, name):
+    import pandas as pd
+
+    return pd.DataFrame({
+        "_RAJ2000": [ra], "_DEJ2000": [dec],
+        "Gmag": [12.0], "e_Gmag": [0.001],
+        "BPmag": [12.3], "e_BPmag": [0.002],
+        "RPmag": [11.5], "e_RPmag": [0.002],
+        "Plx": [4.0], "e_Plx": [0.1],
+        "RPlx": [50.0], "RFG": [100.0], "RFRP": [50.0], "RFBP": [50.0],
+        "Nper": [10], "chi2AL": [100.0], "NgAL": [105], "Source": [111],
+    })
+
+
+def test_gaia_data_and_ini_update(star_folder, monkeypatch):
+    """get_gaia_data + update_ini_with_gaia: the native --gaia machinery
+    (reference gates this on the external tgastars package)."""
+    from isochrones_tpu.iniparse import parse_ini, parse_value
+    from isochrones_tpu.query import Gaia
+    from isochrones_tpu.starfit import get_gaia_data, update_ini_with_gaia
+    from isochrones_tpu.treemodel import StarModel
+
+    monkeypatch.setattr(Gaia, "table_provider", staticmethod(_fake_gaia_table))
+    data = get_gaia_data(10.0, 20.0)
+    assert data["parallax"] == (4.0, 0.1)
+    assert float(data["G"][0]) == 12.0
+
+    ini_path = os.path.join(star_folder, "star.ini")
+    update_ini_with_gaia(ini_path, data)
+    update_ini_with_gaia(ini_path, data)  # idempotent: replaces, not appends
+    c = parse_ini(ini_path)
+    assert parse_value(c["parallax"]) == [4.0, 0.1]
+    assert parse_value(c["gaia"]["G"])[0] == 12.0
+    assert open(ini_path).read().count("parallax") == 1
+    # the [gaia] photometry participates in band discovery
+    assert "G" in StarModel.get_bands(ini_path)
+    # and the original sections survive
+    assert parse_value(c["twomass"]["J"]) == [6.80, 0.02]
+
+
+@pytest.mark.slow
+def test_starfit_gaia_cli(star_folder, monkeypatch):
+    """starfit --gaia --write_ini: fit conditioned on the queried parallax
+    (synthetic grid lacks Gaia bands -> parallax-only fallback path)."""
+    from isochrones_tpu.query import Gaia
+
+    monkeypatch.setattr(Gaia, "table_provider", staticmethod(_fake_gaia_table))
+    from isochrones_tpu.cli.starfit import main
+
+    rc = main([
+        os.path.basename(star_folder), "--rootdir", os.path.dirname(star_folder),
+        "--models", "synthetic", "--n_live_points", "60",
+        "--max_iter", "400", "--seed", "1", "--no_plots", "--gaia", "--write_ini",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(star_folder, "synthetic_starmodel_single.h5"))
+    ini = open(os.path.join(star_folder, "star.ini")).read()
+    assert "parallax = 4.0, 0.1" in ini
+
+
+def test_summarize_results_txt(star_folder):
+    """--results-txt mode writes the reference's per-folder med/lo/hi table
+    (scripts/starfit-summarize:75-110)."""
+    from isochrones_tpu.cli.starfit import main as starfit_main
+    from isochrones_tpu.cli.summarize import main as summarize_main
+
+    starfit_main([
+        star_folder, "--models", "synthetic", "--n_live_points", "60",
+        "--max_iter", "400", "--seed", "1", "--no_plots",
+    ])
+    rc = summarize_main([
+        os.path.basename(star_folder), "--rootdir", os.path.dirname(star_folder),
+        "--models", "synthetic", "--results-txt",
+    ])
+    assert rc == 0
+    rf = os.path.join(star_folder, "synthetic_single_results.txt")
+    header, vals = open(rf).read().splitlines()
+    assert header.split()[:3] == ["mass", "mass_lo", "mass_hi"]
+    nums = [float(x) for x in vals.split()]
+    assert len(nums) == 24
+    med_mass, lo_mass, hi_mass = nums[0:3]
+    assert lo_mass <= med_mass <= hi_mass
