@@ -42,6 +42,9 @@ def main(argv=None):
     if args.listfile:
         with open(args.listfile) as f:
             names += [line.strip() for line in f if line.strip()]
+    if not names:
+        # reference default: current folder (scripts/starfit-summarize:31)
+        names = ["."]
 
     if args.results_txt or args.binary or args.triple or args.all:
         # reference scripts/starfit-summarize:63-110 ("old thing") — write
@@ -58,7 +61,7 @@ def main(argv=None):
             multiplicities = ["triple"]
         else:
             multiplicities = ["single"]
-        for folder in names or ["."]:
+        for folder in names:
             for mult in multiplicities:
                 try:
                     path = write_results_txt(

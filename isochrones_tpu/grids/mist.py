@@ -197,6 +197,7 @@ class MISTEvolutionTrackGrid(MISTModelGrid):
         self._approx_eep_interp = None
         self._eep_interps = None
         self._primary_eeps_arr = None
+        self._masses = None
 
     @property
     def datadir(self):
@@ -309,7 +310,9 @@ class MISTEvolutionTrackGrid(MISTModelGrid):
     @property
     def masses(self):
         """Initial-mass grid values (reference mist/models.py:186-190)."""
-        return np.array(self.df.index.levels[1])
+        if self._masses is None:
+            self._masses = np.array(self.df.index.levels[1])
+        return self._masses
 
     def df_all_feh(self, feh):
         """All masses at one feh (reference mist/models.py:297-309)."""
@@ -576,9 +579,6 @@ class MISTEvolutionTrackGrid(MISTModelGrid):
         Returns the matplotlib Axes with the track's (age, eep) points,
         primary-EEP markers, and (optionally) the fitted ``eep_fn`` curve.
         """
-        import matplotlib
-
-        matplotlib.use("Agg", force=False)
         import matplotlib.pyplot as plt
         from scipy.optimize import curve_fit
 

@@ -55,6 +55,8 @@ def update_ini_with_gaia(ini_path, data):
         if not seen_section and s.lower().startswith("parallax"):
             continue
         out.append(ln)
+    while out and not out[-1].strip():
+        out.pop()
     plx, e_plx = data["parallax"]
     insert_at = next((i for i, ln in enumerate(out) if ln.strip().startswith("[")), len(out))
     out.insert(insert_at, f"parallax = {plx}, {e_plx}")
@@ -164,13 +166,21 @@ def starfit(
                         except Exception:
                             if not gaia_bands:
                                 raise
-                            # model grid lacks the Gaia system: parallax-only
+                            # model grid lacks the Gaia system: parallax-only.
+                            # Strip the Gaia bands from all_bands too — with
+                            # write_ini_file they are already in the ini and
+                            # would re-raise here otherwise.
                             logger.warning(
                                 "%s grid lacks Gaia bands %s; conditioning on parallax only.",
                                 models, gaia_bands,
                             )
                             gaia_data = {"parallax": gaia_data["parallax"]}
-                            ichrone = get_ichrone(models, list(set(all_bands)))
+                            if write_ini_file:
+                                # drop the just-written [gaia] photometry too
+                                update_ini_with_gaia(ini_path, gaia_data)
+                            ichrone = get_ichrone(
+                                models, list(set(all_bands) - set(gaia_bands))
+                            )
 
                     if Mod is BasicStarModel or issubclass(Mod, BasicStarModel) and not issubclass(Mod, StarModel):
                         # flat model path: parse ini into kwargs

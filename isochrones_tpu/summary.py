@@ -208,11 +208,20 @@ RESULTS_PROPS = ("mass", "radius", "Teff", "logg", "feh", "age", "distance", "AV
 def write_results_txt(folder, models="mist", mult="single", props=RESULTS_PROPS):
     """Per-folder ``{models}_{mult}_results.txt`` with med/lo/hi (50/15.85/
     84.15%) of each physical property (the reference
-    ``scripts/starfit-summarize`` folders mode, lines 75-110)."""
-    from .starmodel import BasicStarModel
+    ``scripts/starfit-summarize`` folders mode, lines 75-110).
 
-    mod = BasicStarModel.load_hdf(os.path.join(folder, f"{models}_starmodel_{mult}.h5"))
-    ds = mod.derived_samples
+    Reads the stored derived_samples table directly (works for flat AND tree
+    models; no interpolator rebuild — the reference likewise reads the
+    samples table, not the model)."""
+    import json
+
+    import h5py
+    import pandas as pd
+
+    path = os.path.join(folder, f"{models}_starmodel_{mult}.h5")
+    with h5py.File(path, "r") as f:
+        gd = f["derived_samples"]
+        ds = pd.DataFrame(np.asarray(gd["values"]), columns=json.loads(gd.attrs["columns"]))
     results_file = os.path.join(folder, f"{models}_{mult}_results.txt")
     vals = []
     for p in props:

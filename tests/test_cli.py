@@ -133,17 +133,22 @@ def test_gaia_data_and_ini_update(star_folder, monkeypatch):
     c = parse_ini(ini_path)
     assert parse_value(c["parallax"]) == [4.0, 0.1]
     assert parse_value(c["gaia"]["G"])[0] == 12.0
-    assert open(ini_path).read().count("parallax") == 1
+    text = open(ini_path).read()
+    assert text.count("parallax") == 1
+    assert text.count("\n\n\n") == 0  # no blank-line churn across rewrites
     # the [gaia] photometry participates in band discovery
     assert "G" in StarModel.get_bands(ini_path)
     # and the original sections survive
     assert parse_value(c["twomass"]["J"]) == [6.80, 0.02]
+    # parallax-only data removes a previously written [gaia] section
+    update_ini_with_gaia(ini_path, {"parallax": data["parallax"]})
+    assert "[gaia]" not in open(ini_path).read()
 
 
 @pytest.mark.slow
 def test_starfit_gaia_cli(star_folder, monkeypatch):
     """starfit --gaia --write_ini: fit conditioned on the queried parallax
-    (synthetic grid lacks Gaia bands -> parallax-only fallback path)."""
+    and G/BP/RP photometry (the synthetic grid carries the Gaia system)."""
     from isochrones_tpu.query import Gaia
 
     monkeypatch.setattr(Gaia, "table_provider", staticmethod(_fake_gaia_table))
@@ -158,6 +163,7 @@ def test_starfit_gaia_cli(star_folder, monkeypatch):
     assert os.path.exists(os.path.join(star_folder, "synthetic_starmodel_single.h5"))
     ini = open(os.path.join(star_folder, "star.ini")).read()
     assert "parallax = 4.0, 0.1" in ini
+    assert "[gaia]" in ini and "G = 12.0" in ini
 
 
 def test_summarize_results_txt(star_folder):
@@ -182,3 +188,34 @@ def test_summarize_results_txt(star_folder):
     assert len(nums) == 24
     med_mass, lo_mass, hi_mass = nums[0:3]
     assert lo_mass <= med_mass <= hi_mass
+
+
+@pytest.mark.slow
+def test_starfit_gaia_fallback_parallax_only(star_folder, monkeypatch):
+    """Grid without Gaia bands: --gaia falls back to parallax-only and the
+    fit still completes (even with --write_ini, which must strip the
+    just-written [gaia] photometry)."""
+    from isochrones_tpu import isochrone as iso_mod
+    from isochrones_tpu.query import Gaia
+
+    monkeypatch.setattr(Gaia, "table_provider", staticmethod(_fake_gaia_table))
+    real_get_ichrone = iso_mod.get_ichrone
+
+    def no_gaia_bands(models, bands=None, **kw):
+        if bands and any(b in ("G", "BP", "RP") for b in bands):
+            raise ValueError("grid lacks the Gaia system")
+        return real_get_ichrone(models, bands, **kw)
+
+    monkeypatch.setattr(iso_mod, "get_ichrone", no_gaia_bands)
+    from isochrones_tpu.cli.starfit import main
+
+    rc = main([
+        star_folder, "--models", "synthetic", "--n_live_points", "60",
+        "--max_iter", "400", "--seed", "1", "--no_plots", "--gaia", "--write_ini",
+    ])
+    assert rc == 0
+    # the fit must have actually happened (starfit swallows per-folder errors)
+    assert os.path.exists(os.path.join(star_folder, "synthetic_starmodel_single.h5"))
+    ini = open(os.path.join(star_folder, "star.ini")).read()
+    assert "parallax = 4.0, 0.1" in ini
+    assert "[gaia]" not in ini  # photometry dropped in the fallback

@@ -205,34 +205,30 @@ def test_get_ichrone_mist(mist_env):
     assert "J_mag" in df.columns
 
 
-def test_eep_fit_machinery(mist_env):
+def test_eep_fit_machinery(mist_env, monkeypatch):
     from isochrones_tpu.grids.mist import MISTEvolutionTrackGrid
 
-    grid = MISTEvolutionTrackGrid()
     # restrict sections to the fixture's EEP range
-    grid_sections = [(1, 20), (20, 40), (40, 60)]
-    MISTEvolutionTrackGrid.primary_eeps = (1, 20, 40, 60)
-    try:
-        p_df = grid.fit_eep_section(1, 20, order=3)
-        assert p_df.shape == (6, 4)
-        assert np.isfinite(p_df.values.astype(float)).all()
+    monkeypatch.setattr(MISTEvolutionTrackGrid, "primary_eeps", (1, 20, 40, 60))
+    grid = MISTEvolutionTrackGrid()
+    p_df = grid.fit_eep_section(1, 20, order=3)
+    assert p_df.shape == (6, 4)
+    assert np.isfinite(p_df.values.astype(float)).all()
 
-        approx = grid.fit_approx_eep(max_fit_eep=60)
-        assert approx.shape == (6, 9)
+    approx = grid.fit_approx_eep(max_fit_eep=60)
+    assert approx.shape == (6, 9)
 
-        grid.write_eep_params(orders=[3, 3, 3])
-        interp = grid.get_approx_eep_interp()
-        pars = np.asarray(interp([0.0, 0.8], "all")).squeeze()
-        assert pars.shape == (9,)
+    grid.write_eep_params(orders=[3, 3, 3])
+    interp = grid.get_approx_eep_interp()
+    pars = np.asarray(interp([0.0, 0.8], "all")).squeeze()
+    assert pars.shape == (9,)
 
-        eep = grid.get_eep_fit(0.8, 8.8, 0.0, approx=True)
-        assert np.isfinite(eep)
-        # approx fit should land in the right neighborhood
-        true_eep = grid.df.xs((0.0, 0.8), level=(0, 1))
-        age_at = np.interp(eep, true_eep["eep"].values, true_eep["age"].values)
-        assert abs(age_at - 8.8) < 0.3
-    finally:
-        MISTEvolutionTrackGrid.primary_eeps = (1, 202, 353, 454, 605, 631, 707, 808, 1409, 1710)
+    eep = grid.get_eep_fit(0.8, 8.8, 0.0, approx=True)
+    assert np.isfinite(eep)
+    # approx fit should land in the right neighborhood
+    true_eep = grid.df.xs((0.0, 0.8), level=(0, 1))
+    age_at = np.interp(eep, true_eep["eep"].values, true_eep["age"].values)
+    assert abs(age_at - 8.8) < 0.3
 
 
 def test_offline_gating(tmp_path, monkeypatch):
@@ -245,22 +241,20 @@ def test_offline_gating(tmp_path, monkeypatch):
         grid.download_tarball(feh=0.0)
 
 
-def test_track_grid_accessors(mist_env):
+def test_track_grid_accessors(mist_env, monkeypatch):
     """masses/primary_eeps_arr/cache-path aliases/view_eep_fit
     (reference mist/models.py:186-190, 297-303, 530-534, 558-596)."""
     from isochrones_tpu.grids.mist import MISTEvolutionTrackGrid
 
-    MISTEvolutionTrackGrid.primary_eeps = (1, 20, 40, 60)
-    try:
-        grid = MISTEvolutionTrackGrid()
-        ms = grid.masses
-        assert ms.ndim == 1 and len(ms) >= 2 and np.all(np.diff(ms) > 0)
-        assert np.array_equal(grid.primary_eeps_arr, np.array(grid.primary_eeps))
-        assert grid.get_feh_hdf_filename(0.0) == grid.get_feh_cache_filename(0.0)
-        assert grid.get_feh_interpolated_hdf_filename(0.0).endswith("_interpolated.parquet")
+    monkeypatch.setattr(MISTEvolutionTrackGrid, "primary_eeps", (1, 20, 40, 60))
+    grid = MISTEvolutionTrackGrid()
+    ms = grid.masses
+    assert ms.ndim == 1 and len(ms) >= 2 and np.all(np.diff(ms) > 0)
+    assert grid.masses is ms  # cached
+    assert np.array_equal(grid.primary_eeps_arr, np.array(grid.primary_eeps))
+    assert grid.get_feh_hdf_filename(0.0) == grid.get_feh_cache_filename(0.0)
+    assert grid.get_feh_interpolated_hdf_filename(0.0).endswith("_interpolated.parquet")
 
-        ax = grid.view_eep_fit(float(ms[0]), 0.0, plot_p0=True)
-        assert ax.get_title() == f"mass={float(ms[0])}, feh=0.0"
-        assert len(ax.lines) >= 3  # track, fit, p0 (+ primary-EEP markers)
-    finally:
-        MISTEvolutionTrackGrid.primary_eeps = (1, 202, 353, 454, 605, 631, 707, 808, 1409, 1710)
+    ax = grid.view_eep_fit(float(ms[0]), 0.0, plot_p0=True)
+    assert ax.get_title() == f"mass={float(ms[0])}, feh=0.0"
+    assert len(ax.lines) >= 3  # track, fit, p0 (+ primary-EEP markers)
