@@ -42,6 +42,7 @@ class NestedResult(NamedTuple):
     ess: float = np.nan  # effective sample size of the posterior weights
     truncated: bool = False  # ESS still below min_ess when the budget ran out
     logz_runs: np.ndarray = None  # per-run ln Z when n_runs > 1 (else None)
+    dynamic_rounds: int = 0  # posterior-bulk thread rounds run (dynamic=True)
 
 
 def _ln_x_schedule(n_dead: int, n_live: int, n_batch: int = 1) -> np.ndarray:
@@ -111,6 +112,120 @@ def _assemble_weights(dead_lnl: np.ndarray, live_lnl: np.ndarray, n_live: int, n
         probs = probs / psum
     ess = float(1.0 / np.sum(probs ** 2)) if psum > 0 else 0.0
     return order, all_lnl, all_logwt, float(logz), probs, ess
+
+
+def _merge_segments(segments):
+    """Varying-live-count weight assembly for a base run merged with
+    posterior-focused thread runs — dynamic nested sampling (Higson et al.
+    2019; the machinery behind dynesty's ``merge_runs``), generalized to this
+    engine's batched-K removal.
+
+    Statistical picture: every segment's live points are uniform draws in the
+    prior constrained above that segment's activation threshold ``L0``, so at
+    any likelihood level the union of alive points across segments is uniform
+    in the common constrained prior. Processing all deaths in ascending-lnL
+    order, each death shrinks the prior mass by ``E[ln t] = -1/n_alive``
+    where ``n_alive`` counts alive points from every active segment — the
+    single-segment case reproduces :func:`_ln_x_increments` exactly (batched-K
+    removal decrements within a batch and refills K at the batch boundary).
+    Final live points are consumed as decrementing deaths (the standard
+    varying-n treatment).
+
+    segments : list of dicts with keys ``dead_lnl`` (ascending), ``live_lnl``,
+        ``all_u`` (dead_u + live_u[argsort(live_lnl)] stacked), ``n_live``,
+        ``n_batch``, ``L0`` (activation threshold; -inf for the base run).
+
+    Returns ``(all_u, all_lnl, all_logwt, logz, probs, ess, h, logzerr)``
+    with rows in ascending-lnL merged order.
+    """
+    lnls, prios, seg_ids, kinds, refills, srcs = [], [], [], [], [], []
+    for s, seg in enumerate(segments):
+        dead = np.asarray(seg["dead_lnl"], dtype=float)
+        m = len(dead)
+        K = max(1, int(seg.get("n_batch", 1)))
+        j = np.arange(m)
+        # deaths (kind 1): refill K live points at each batch boundary
+        lnls.append(dead)
+        prios.append(np.zeros(m))
+        seg_ids.append(np.full(m, s))
+        kinds.append(np.ones(m))
+        refills.append(np.where(j % K == K - 1, K, 0))
+        srcs.append(j)
+        # final live points (kind 2), ascending
+        live = np.asarray(seg["live_lnl"], dtype=float)
+        lo = np.argsort(live)
+        n = len(live)
+        lnls.append(live[lo])
+        prios.append(np.ones(n))
+        seg_ids.append(np.full(n, s))
+        kinds.append(np.full(n, 2))
+        refills.append(np.zeros(n))
+        srcs.append(m + np.arange(n))
+        # activation (kind 0): n_live points come alive above L0. prio 2 at
+        # equal lnl: a base death AT the threshold is counted before the
+        # thread's points activate (they live strictly above it).
+        lnls.append(np.array([seg["L0"]]))
+        prios.append(np.array([2.0]))
+        seg_ids.append(np.array([s]))
+        kinds.append(np.array([0.0]))
+        refills.append(np.array([seg["n_live"]]))
+        srcs.append(np.array([-1]))
+
+    lnl = np.concatenate(lnls)
+    prio = np.concatenate(prios)
+    seg_id = np.concatenate(seg_ids).astype(int)
+    kind = np.concatenate(kinds).astype(int)
+    refill = np.concatenate(refills).astype(int)
+    src = np.concatenate(srcs).astype(int)
+    order = np.lexsort((prio, lnl))  # ascending lnl, deaths < live < activation
+
+    alive = 0
+    ln_x = 0.0
+    out_rows = []  # (event index) for deaths + live points, in merged order
+    out_logwt = []
+    out_n = []
+    for e in order:
+        if kind[e] == 0:
+            alive += refill[e]
+            continue
+        # death or final-live consumption at current alive count
+        ln_x_new = ln_x - 1.0 / alive
+        w = np.exp(ln_x) - np.exp(ln_x_new)
+        lw = np.log(max(w, 1e-300)) + lnl[e]
+        out_rows.append(e)
+        out_logwt.append(lw if np.isfinite(lw) else -np.inf)
+        out_n.append(alive)
+        alive -= 1
+        if kind[e] == 1:
+            alive += refill[e]
+        ln_x = ln_x_new
+
+    rows = np.asarray(out_rows)
+    all_lnl = lnl[rows]
+    all_logwt = np.asarray(out_logwt)
+    n_at = np.asarray(out_n, dtype=float)
+    all_u = np.empty((len(rows), segments[0]["all_u"].shape[-1]))
+    for s, seg in enumerate(segments):
+        m = seg_id[rows] == s
+        all_u[m] = seg["all_u"][src[rows[m]]]
+
+    finite = np.isfinite(all_logwt)
+    lw = all_logwt[finite]
+    lmax = lw.max() if len(lw) else 0.0
+    logz = float(lmax + np.log(np.exp(lw - lmax).sum())) if len(lw) else -np.inf
+    probs = np.zeros(len(all_logwt))
+    probs[finite] = np.exp(lw - logz)
+    psum = probs.sum()
+    if psum > 0:
+        probs = probs / psum
+    ess = float(1.0 / np.sum(probs ** 2)) if psum > 0 else 0.0
+    # information + error: the constant-n sqrt(H/n) generalizes to
+    # sqrt(sum_i p_i (lnL_i - ln Z) / n_i) under varying live counts
+    with np.errstate(invalid="ignore"):
+        h_terms = probs * (all_lnl - logz)
+    h = float(np.nansum(h_terms))
+    logzerr = float(np.sqrt(max(np.nansum(h_terms / n_at), 0.0)))
+    return all_u, all_lnl, all_logwt, logz, probs, ess, h, logzerr
 
 
 class _RunningEvidence:
@@ -256,6 +371,16 @@ def _constrained_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_groups
     return xf[rows, pick], lnlf[rows, pick], moved[rows, pick], accept_rate
 
 
+@partial(jax.jit, static_argnames=("lnlike_u", "n_groups", "n_chains", "n_repeat"))
+def _decorrelate_walk(lnlike_u, key, start, lnl_start, lnl_star, scale, n_groups, n_chains, n_repeat, L):
+    """Standalone jitted constrained walk — decorrelates dynamic-NS thread
+    starts (copies of existing samples) from their sources so thread deaths
+    are fresh likelihood draws, not double-counted points."""
+    return _constrained_walk(
+        lnlike_u, key, start, lnl_start, lnl_star, scale, n_groups, n_chains, n_repeat, L=L
+    )
+
+
 @partial(jax.jit, static_argnames=("lnlike_u", "n_live", "n_iter", "n_chains", "n_repeat", "n_batch"))
 def _nested_core(lnlike_u, u0, lnl0, key, scale0, n_live, n_iter, n_chains, n_repeat, n_batch=1):
     """``n_iter`` scan steps, each removing the ``n_batch`` worst live points
@@ -323,6 +448,9 @@ def run_nested(
     core: Callable = None,
     n_runs: int = 1,
     mesh=None,
+    dynamic: bool = False,
+    posterior_frac: float = 0.025,
+    max_dynamic_rounds: int = 8,
 ) -> NestedResult:
     """Nested-sampling fit.
 
@@ -357,6 +485,21 @@ def run_nested(
         extra variance from finitely-correlated MCMC replacement chains.
         The posterior concatenates Z-weighted equal-weight draws from every
         run. Per-run evidences are returned in ``result.logz_runs``.
+    dynamic : dynamic nested sampling (Higson et al. 2019). When the base
+        run reaches the ``dlogz`` evidence criterion with posterior ESS still
+        below ``min_ess``, instead of continuing terminal shrinkage (ever
+        harder thresholds, far from the posterior bulk), spawn
+        posterior-focused THREADS: fresh ``n_live``-point NS runs activated at
+        the likelihood level enclosing ``1 - posterior_frac`` of the posterior
+        mass. Threads reuse the already-compiled core at identical shapes (no
+        new XLA compile) and merge with the base run through the exact
+        varying-live-count schedule (:func:`_merge_segments`), so the
+        evidence stays unbiased while posterior ESS per likelihood call
+        improves severalfold. ``dynamic=False`` (default) preserves the
+        static auto-extend behavior exactly.
+    posterior_frac : lower cumulative-posterior-mass cut defining each
+        thread's activation threshold.
+    max_dynamic_rounds : cap on thread rounds (each adds ~n_live-scale ESS).
     mesh : optional ``jax.sharding.Mesh`` — shards the NS likelihood fan-out
         across devices (the role MPI plays for MultiNest, reference
         starmodel.py:755-797). With ``n_runs > 1`` the independent runs shard
@@ -367,6 +510,11 @@ def run_nested(
         batch -> identical values, an all-gather of the (B,) lnl per step).
     """
     if n_runs > 1:
+        if dynamic:
+            raise ValueError(
+                "dynamic=True supports n_runs=1 — independent runs already "
+                "multiply posterior coverage; combine one or the other"
+            )
         return _run_nested_multi(
             lnpost_u, prior_transform, n_params, key, n_live=n_live,
             max_iter=max_iter, n_chains=n_chains, n_repeat=n_repeat,
@@ -441,7 +589,9 @@ def run_nested(
         lnl_live_max = float(np.max(live_lnl_now))
         logz_remain = lnl_live_max + ln_x_last  # upper bound on live mass
         dlogz_met = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain)) < dlogz
-        if dlogz_met and ess_now >= min_ess:
+        # dynamic mode hands low-ESS handling to posterior threads instead of
+        # terminal shrinkage — stop the base run on the evidence criterion
+        if dlogz_met and (dynamic or ess_now >= min_ess):
             break
 
     dead_u = np.concatenate(dead_u_chunks, axis=0)
@@ -461,6 +611,72 @@ def run_nested(
     p = np.exp(all_logwt[finite] - logz)
     h = float(np.sum(p * (all_lnl[finite] - logz)))
     logzerr = float(np.sqrt(max(h, 0.0) * _logzerr_scale(n_live, n_batch)))
+
+    # ---- dynamic posterior threads (Higson-style dynamic NS) ----
+    dynamic_rounds = 0
+    n_iter_total = n_dead
+    if dynamic and ess < min_ess:
+        segments = [dict(
+            dead_lnl=dead_lnl, live_lnl=live_lnl, n_live=n_live,
+            n_batch=n_batch, L0=-np.inf, all_u=all_u,
+        )]
+        merged = _merge_segments(segments)
+        while (
+            merged[5] < min_ess
+            and n_dead_total < hard_cap
+            and dynamic_rounds < max_dynamic_rounds
+        ):
+            all_u_m, all_lnl_m, _, _, probs_m, _, _, _ = merged
+            # activation threshold: likelihood level below which only
+            # posterior_frac of the current posterior mass lives
+            cum = np.cumsum(probs_m)
+            i_lo = int(np.searchsorted(cum, posterior_frac))
+            i_lo = min(i_lo, max(len(all_lnl_m) - n_live - 1, 0))
+            L_lo = float(all_lnl_m[i_lo])
+            # thread starts: the n_live merged samples just above L_lo (~the
+            # live-set snapshot at that threshold), decorrelated by a
+            # whitened constrained walk so thread deaths are fresh draws
+            starts_u = jnp.asarray(all_u_m[i_lo + 1 : i_lo + 1 + n_live])
+            starts_lnl = jnp.asarray(all_lnl_m[i_lo + 1 : i_lo + 1 + n_live])
+            key, k_walk = jax.random.split(key)
+            t_live_u, t_live_lnl, _, _ = _decorrelate_walk(
+                lnlike_u, k_walk, starts_u, starts_lnl, jnp.asarray(L_lo),
+                scale, n_live, 1, 4 * n_repeat, _live_cholesky(starts_u),
+            )
+            # thread run: same compiled core, same shapes; terminates on its
+            # own dlogz criterion in thread-relative prior-mass units
+            t_running = _RunningEvidence(n_live, n_batch=n_batch)
+            t_dead_u, t_dead_lnl = [], []
+            while n_dead_total < hard_cap:
+                n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
+                du, dl, t_live_u, t_live_lnl, key, scale = core_fn(
+                    lnlike_u, t_live_u, t_live_lnl, key, scale, n_live,
+                    n_steps, n_chains, n_repeat, n_batch=n_batch,
+                )
+                t_dead_u.append(np.asarray(du))
+                t_dead_lnl.append(np.asarray(dl))
+                n_dead_total += n_steps * n_batch
+                n_iter_total += n_steps * n_batch
+                t_running.add(t_dead_lnl[-1])
+                t_live_now = np.asarray(t_live_lnl)
+                t_z, _ = t_running.status(t_live_now)
+                t_remain = float(np.max(t_live_now)) + t_running.ln_x
+                if np.exp(t_remain - np.logaddexp(t_z, t_remain)) < dlogz:
+                    break
+            t_dead_u = np.concatenate(t_dead_u, axis=0)
+            t_dead_lnl_arr = np.concatenate(t_dead_lnl)
+            t_live_u_np = np.asarray(t_live_u)
+            t_live_lnl_np = np.asarray(t_live_lnl)
+            t_order = np.argsort(t_live_lnl_np)
+            segments.append(dict(
+                dead_lnl=t_dead_lnl_arr, live_lnl=t_live_lnl_np,
+                n_live=n_live, n_batch=n_batch, L0=L_lo,
+                all_u=np.concatenate([t_dead_u, t_live_u_np[t_order]], axis=0),
+            ))
+            dynamic_rounds += 1
+            merged = _merge_segments(segments)
+        if dynamic_rounds:
+            all_u, all_lnl, all_logwt, logz, probs, ess, h, logzerr = merged
 
     truncated = ess < min_ess
     if truncated:
@@ -487,11 +703,12 @@ def run_nested(
         logz=float(logz),
         logzerr=logzerr,
         h=h,
-        n_iter=n_dead,
+        n_iter=n_iter_total,
         posterior=posterior,
         logl_posterior=all_lnl[idx],
         ess=ess,
         truncated=truncated,
+        dynamic_rounds=dynamic_rounds,
     )
 
 

@@ -629,7 +629,11 @@ class BasicStarModel:
         Accepts ``mesh=`` (forwarded to :func:`~.samplers.nested.run_nested`):
         a ``jax.sharding.Mesh`` sharding the likelihood fan-out — independent
         runs with ``n_runs > 1``, else the constrained-walk chain batch —
-        across devices (the MPI-rank role in the reference's MultiNest)."""
+        across devices (the MPI-rank role in the reference's MultiNest).
+        Also accepts ``dynamic=True`` (+ ``min_ess=``) for dynamic nested
+        sampling: posterior-focused thread runs that reach a posterior-ESS
+        target in ~50x fewer likelihood calls than static extension
+        (docs/samplers.md)."""
         from .samplers.nested import run_nested
 
         if jax.default_backend() == "tpu":

@@ -329,3 +329,103 @@ def test_nested_multi_run_evidence():
     np.testing.assert_allclose(res.posterior.std(axis=0), sigma, rtol=0.15)
     assert res.ess > 600  # pooled across runs
     assert not res.truncated
+
+
+# ------------------------------------------------------ dynamic nested sampling
+def test_merge_segments_single_reproduces_classic():
+    """One segment through the varying-n merge == the classic batched-K
+    assembly: dead-point weights exactly, total logz to O(1/n_live) (the
+    final-live treatment differs: decrementing deaths vs uniform X/n)."""
+    from isochrones_tpu.samplers.nested import _assemble_weights, _merge_segments
+
+    rng = np.random.default_rng(0)
+    n_live, K = 200, 8
+    dead_lnl = np.sort(rng.normal(size=960))
+    live_lnl = dead_lnl[-1] + np.abs(rng.normal(size=n_live))  # live above dead
+    _, _, logwt_classic, logz_classic, _, _ = _assemble_weights(
+        dead_lnl, live_lnl, n_live, n_batch=K
+    )
+    seg = dict(
+        dead_lnl=dead_lnl, live_lnl=live_lnl, n_live=n_live, n_batch=K,
+        L0=-np.inf, all_u=rng.random((len(dead_lnl) + n_live, 3)),
+    )
+    _, all_lnl, all_logwt, logz, _, _, _, _ = _merge_segments([seg])
+    # merged order is ascending lnl -> first 960 rows are the deaths
+    np.testing.assert_allclose(all_logwt[:960], logwt_classic[:960], rtol=1e-10)
+    assert abs(logz - logz_classic) < 3.0 / n_live
+
+
+def test_merge_segments_two_runs_hand_counts():
+    """Hand-checked alive counts for a base run + one thread activated
+    mid-run: each death shrinks by 1/n_alive with the thread's points
+    counting only above its activation threshold."""
+    from isochrones_tpu.samplers.nested import _merge_segments
+
+    base = dict(
+        dead_lnl=np.array([1.0, 2.0, 3.0]), live_lnl=np.array([5.0, 4.0]),
+        n_live=2, n_batch=1, L0=-np.inf, all_u=np.zeros((5, 2)),
+    )
+    thread = dict(
+        dead_lnl=np.array([2.5, 3.5]), live_lnl=np.array([5.5, 4.5]),
+        n_live=2, n_batch=1, L0=2.0, all_u=np.ones((4, 2)),
+    )
+    _, all_lnl, all_logwt, _, _, _, _, _ = _merge_segments([base, thread])
+    np.testing.assert_allclose(
+        all_lnl, [1.0, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0, 5.5]
+    )
+    # expected alive counts per event (thread activates after the death AT 2.0)
+    expected_n = np.array([2, 2, 4, 4, 4, 4, 3, 2, 1], dtype=float)
+    w = np.exp(all_logwt - all_lnl)  # prior-mass weight per event
+    x = 1.0 - np.cumsum(w)  # remaining prior mass after each event
+    np.testing.assert_allclose(
+        x, np.exp(-np.cumsum(1.0 / expected_n)), rtol=1e-10
+    )
+
+
+def test_nested_dynamic_reaches_ess_cheaply():
+    """dynamic=True hits a high ESS target in a small fraction of the
+    likelihood calls static terminal shrinkage needs — at unchanged evidence
+    and posterior moments (the Higson dynamic-NS payoff)."""
+    sigma = 0.1
+
+    def lnpost_v(x):
+        return -0.5 * jnp.sum((x / sigma) ** 2, axis=-1) - x.shape[-1] * 0.5 * np.log(
+            2 * np.pi * sigma ** 2
+        )
+
+    def prior_transform(u):
+        return -1.0 + 2.0 * u
+
+    d, min_ess = 3, 1500
+    common = dict(
+        n_live=200, n_chains=8, n_repeat=16, n_batch=8, dlogz=0.01,
+        min_ess=min_ess, rng=3,
+    )
+    static = run_nested(
+        lnpost_v, prior_transform, d, jax.random.PRNGKey(2),
+        max_iter=20_000, **common,
+    )
+    dynamic = run_nested(
+        lnpost_v, prior_transform, d, jax.random.PRNGKey(2),
+        dynamic=True, **common,
+    )
+    # static terminal shrinkage saturates below the target...
+    assert static.truncated and static.ess < min_ess
+    # ...dynamic reaches it with far fewer evaluations
+    assert not dynamic.truncated and dynamic.ess >= min_ess
+    assert dynamic.dynamic_rounds >= 1
+    assert dynamic.n_iter < static.n_iter / 2
+    # unchanged evidence and posterior
+    expected = np.log(1.0 / 2.0 ** d)
+    assert dynamic.logz == pytest.approx(expected, abs=max(3 * dynamic.logzerr, 0.1))
+    assert abs(dynamic.logz - static.logz) < 3 * np.hypot(dynamic.logzerr, static.logzerr)
+    assert np.abs(dynamic.posterior.mean(axis=0)).max() < 0.02
+    np.testing.assert_allclose(dynamic.posterior.std(axis=0), sigma, rtol=0.15)
+
+
+def test_nested_dynamic_rejects_multi_run():
+    with pytest.raises(ValueError, match="dynamic"):
+        run_nested(
+            lambda x: -jnp.sum(x ** 2, axis=-1), lambda u: u, 2,
+            jax.random.PRNGKey(0), n_runs=2, dynamic=True,
+        )
