@@ -203,3 +203,21 @@ def test_nested_batched_evidence_on_star_model(iso):
     assert abs(res1.logz - res16.logz) < 3.0 * err, (
         f"logz {res1.logz}+-{res1.logzerr} vs {res16.logz}+-{res16.logzerr}"
     )
+
+
+def test_dynamic_nested_quantile_parity(single_fits, iso):
+    """dynamic=True on the real (ridged, bounded) star likelihood: quantiles
+    match the static nested run, ESS clears a target static extension cannot
+    reach efficiently, and the evidence agrees."""
+    m_ref, fits = single_fits
+    truth_meas = _measurements(iso, [60.0, 9.0, 0.0, 200.0, 0.1])
+    m = SingleStarModel(iso, name="parity-dynamic", **truth_meas)
+    m.fit_multinest(n_live_points=500, seed=10, dynamic=True, min_ess=4000)
+    res = m._nested_result
+    assert res.dynamic_rounds >= 1
+    assert res.ess >= 4000 and not res.truncated
+    fits2 = {"nested": fits["nested"], "dynamic": m.samples.copy()}
+    _assert_quantile_parity(fits2, ["eep", "age", "feh", "distance", "AV"])
+    logz_s, logzerr_s = m_ref.evidence
+    logz_d, logzerr_d = m.evidence
+    assert abs(logz_d - logz_s) < 3 * float(np.hypot(logzerr_d, max(logzerr_s, 0.05)))
