@@ -24,6 +24,10 @@ def build_parser():
     parser.add_argument("--no_plots", action="store_true")
     parser.add_argument("--n_live_points", type=int, default=1000)
     parser.add_argument("--max_iter", type=int, default=None)
+    parser.add_argument("--dynamic", action="store_true",
+                        help="dynamic nested sampling: posterior-focused threads to reach --min_ess cheaply (docs/samplers.md)")
+    parser.add_argument("--min_ess", type=float, default=None,
+                        help="posterior effective-sample-size target for the nested fit")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--bands", nargs="*", default=None, help="Additional band(s) to include in samples.")
     parser.add_argument("--gaia", action="store_true",
@@ -86,6 +90,10 @@ def main(argv=None):
     fit_kwargs = dict(n_live_points=args.n_live_points, seed=args.seed)
     if args.max_iter is not None:
         fit_kwargs["max_iter"] = args.max_iter
+    if args.dynamic:
+        fit_kwargs["dynamic"] = True
+    if args.min_ess is not None:
+        fit_kwargs["min_ess"] = args.min_ess
 
     for i, folder in enumerate(folders):
         print(f"{i + 1} of {len(folders)}: {folder}")
