@@ -99,19 +99,25 @@ def _assemble_weights(dead_lnl: np.ndarray, live_lnl: np.ndarray, n_live: int, n
 
     all_lnl = np.concatenate([dead_lnl, live_lnl[order]])
     all_logwt = np.concatenate([logwt_dead, logwt_live])
+    logz, probs, ess = _evidence_from_logwt(all_logwt)
+    return order, all_lnl, all_logwt, logz, probs, ess
 
+
+def _evidence_from_logwt(all_logwt):
+    """(logz, normalized posterior probs, ESS) from unnormalized ln-weights —
+    the one shared evidence tail of :func:`_assemble_weights` and
+    :func:`_merge_segments`."""
     finite = np.isfinite(all_logwt)
     lw = all_logwt[finite]
     lmax = lw.max() if len(lw) else 0.0
-    logz = lmax + np.log(np.exp(lw - lmax).sum()) if len(lw) else -np.inf
-
+    logz = float(lmax + np.log(np.exp(lw - lmax).sum())) if len(lw) else -np.inf
     probs = np.zeros(len(all_logwt))
     probs[finite] = np.exp(lw - logz)
     psum = probs.sum()
     if psum > 0:
         probs = probs / psum
     ess = float(1.0 / np.sum(probs ** 2)) if psum > 0 else 0.0
-    return order, all_lnl, all_logwt, float(logz), probs, ess
+    return logz, probs, ess
 
 
 def _merge_segments(segments):
@@ -146,7 +152,7 @@ def _merge_segments(segments):
         j = np.arange(m)
         # deaths (kind 1): refill K live points at each batch boundary
         lnls.append(dead)
-        prios.append(np.zeros(m))
+        prios.append(np.ones(m))
         seg_ids.append(np.full(m, s))
         kinds.append(np.ones(m))
         refills.append(np.where(j % K == K - 1, K, 0))
@@ -156,16 +162,21 @@ def _merge_segments(segments):
         lo = np.argsort(live)
         n = len(live)
         lnls.append(live[lo])
-        prios.append(np.ones(n))
+        prios.append(np.full(n, 2.0))
         seg_ids.append(np.full(n, s))
         kinds.append(np.full(n, 2))
         refills.append(np.zeros(n))
         srcs.append(m + np.arange(n))
-        # activation (kind 0): n_live points come alive above L0. prio 2 at
-        # equal lnl: a base death AT the threshold is counted before the
-        # thread's points activate (they live strictly above it).
+        # activation (kind 0): n_live points come alive above L0. prio 0 —
+        # FIRST at its lnl: the base activation at -inf must precede any
+        # -inf death (else a divide-by-zero on pathological likelihoods the
+        # static path handles), and a thread's own events tied exactly at
+        # L0 must see their segment's points alive. The cost is the
+        # measure-zero boundary case of a base death tied exactly at L0
+        # counting the thread's points — a 1/(n+m)-vs-1/n difference on one
+        # event.
         lnls.append(np.array([seg["L0"]]))
-        prios.append(np.array([2.0]))
+        prios.append(np.array([0.0]))
         seg_ids.append(np.array([s]))
         kinds.append(np.array([0.0]))
         refills.append(np.array([seg["n_live"]]))
@@ -177,48 +188,34 @@ def _merge_segments(segments):
     kind = np.concatenate(kinds).astype(int)
     refill = np.concatenate(refills).astype(int)
     src = np.concatenate(srcs).astype(int)
-    order = np.lexsort((prio, lnl))  # ascending lnl, deaths < live < activation
+    order = np.lexsort((prio, lnl))  # ascending lnl; activation < death < live
 
-    alive = 0
-    ln_x = 0.0
-    out_rows = []  # (event index) for deaths + live points, in merged order
-    out_logwt = []
-    out_n = []
-    for e in order:
-        if kind[e] == 0:
-            alive += refill[e]
-            continue
-        # death or final-live consumption at current alive count
-        ln_x_new = ln_x - 1.0 / alive
-        w = np.exp(ln_x) - np.exp(ln_x_new)
-        lw = np.log(max(w, 1e-300)) + lnl[e]
-        out_rows.append(e)
-        out_logwt.append(lw if np.isfinite(lw) else -np.inf)
-        out_n.append(alive)
-        alive -= 1
-        if kind[e] == 1:
-            alive += refill[e]
-        ln_x = ln_x_new
+    # vectorized alive-count accounting: per-event alive delta, prefix-summed
+    lnl_s = lnl[order]
+    kind_s = kind[order]
+    refill_s = refill[order]
+    delta = np.where(kind_s == 0, refill_s, refill_s - 1)  # live: refill 0 -> -1
+    alive_after = np.cumsum(delta)
+    alive_before = alive_after - delta
+    is_sample = kind_s != 0
+    n_at = alive_before[is_sample].astype(float)
+    if not len(n_at) or n_at.min() < 1:
+        raise ValueError("merge saw a death/live event with no alive points")
+    ln_x = -np.cumsum(1.0 / n_at)
+    ln_x_prev = np.concatenate([[0.0], ln_x[:-1]])
+    w = np.exp(ln_x_prev) - np.exp(ln_x)
+    with np.errstate(invalid="ignore"):
+        all_logwt = np.log(np.maximum(w, 1e-300)) + lnl_s[is_sample]
+    all_logwt = np.where(np.isfinite(all_logwt), all_logwt, -np.inf)
+    all_lnl = lnl_s[is_sample]
 
-    rows = np.asarray(out_rows)
-    all_lnl = lnl[rows]
-    all_logwt = np.asarray(out_logwt)
-    n_at = np.asarray(out_n, dtype=float)
+    rows = order[is_sample]
     all_u = np.empty((len(rows), segments[0]["all_u"].shape[-1]))
     for s, seg in enumerate(segments):
         m = seg_id[rows] == s
         all_u[m] = seg["all_u"][src[rows[m]]]
 
-    finite = np.isfinite(all_logwt)
-    lw = all_logwt[finite]
-    lmax = lw.max() if len(lw) else 0.0
-    logz = float(lmax + np.log(np.exp(lw - lmax).sum())) if len(lw) else -np.inf
-    probs = np.zeros(len(all_logwt))
-    probs[finite] = np.exp(lw - logz)
-    psum = probs.sum()
-    if psum > 0:
-        probs = probs / psum
-    ess = float(1.0 / np.sum(probs ** 2)) if psum > 0 else 0.0
+    logz, probs, ess = _evidence_from_logwt(all_logwt)
     # information + error: the constant-n sqrt(H/n) generalizes to
     # sqrt(sum_i p_i (lnL_i - ln Z) / n_i) under varying live counts
     with np.errstate(invalid="ignore"):
@@ -491,8 +488,9 @@ def run_nested(
         harder thresholds, far from the posterior bulk), spawn
         posterior-focused THREADS: fresh ``n_live``-point NS runs activated at
         the likelihood level enclosing ``1 - posterior_frac`` of the posterior
-        mass. Threads reuse the already-compiled core at identical shapes (no
-        new XLA compile) and merge with the base run through the exact
+        mass. Threads reuse the already-compiled core at identical shapes —
+        the one extra program is the small decorrelation walk, compiled once
+        on the first round — and merge with the base run through the exact
         varying-live-count schedule (:func:`_merge_segments`), so the
         evidence stays unbiased while posterior ESS per likelihood call
         improves severalfold. ``dynamic=False`` (default) preserves the
@@ -620,12 +618,12 @@ def run_nested(
             dead_lnl=dead_lnl, live_lnl=live_lnl, n_live=n_live,
             n_batch=n_batch, L0=-np.inf, all_u=all_u,
         )]
-        merged = _merge_segments(segments)
-        while (
-            merged[5] < min_ess
-            and n_dead_total < hard_cap
-            and dynamic_rounds < max_dynamic_rounds
-        ):
+        merged = None
+        while n_dead_total < hard_cap and dynamic_rounds < max_dynamic_rounds:
+            if merged is None:
+                merged = _merge_segments(segments)
+            if merged[5] >= min_ess:
+                break
             all_u_m, all_lnl_m, _, _, probs_m, _, _, _ = merged
             # activation threshold: likelihood level below which only
             # posterior_frac of the current posterior mass lives
@@ -635,14 +633,35 @@ def run_nested(
             L_lo = float(all_lnl_m[i_lo])
             # thread starts: the n_live merged samples just above L_lo (~the
             # live-set snapshot at that threshold), decorrelated by a
-            # whitened constrained walk so thread deaths are fresh draws
+            # whitened constrained walk so thread deaths are fresh draws.
+            # Chains that never accept would stay exact copies of existing
+            # samples (double-counted by the merge) — retry them at halved
+            # step scale before giving up.
             starts_u = jnp.asarray(all_u_m[i_lo + 1 : i_lo + 1 + n_live])
             starts_lnl = jnp.asarray(all_lnl_m[i_lo + 1 : i_lo + 1 + n_live])
-            key, k_walk = jax.random.split(key)
-            t_live_u, t_live_lnl, _, _ = _decorrelate_walk(
-                lnlike_u, k_walk, starts_u, starts_lnl, jnp.asarray(L_lo),
-                scale, n_live, 1, 4 * n_repeat, _live_cholesky(starts_u),
-            )
+            chol = _live_cholesky(starts_u)
+            t_live_u, t_live_lnl = starts_u, starts_lnl
+            moved_any = np.zeros(n_live, dtype=bool)
+            w_scale = scale
+            for _ in range(3):
+                key, k_walk = jax.random.split(key)
+                t_live_u, t_live_lnl, mv, _ = _decorrelate_walk(
+                    lnlike_u, k_walk, t_live_u, t_live_lnl, jnp.asarray(L_lo),
+                    w_scale, n_live, 1, 4 * n_repeat, chol,
+                )
+                moved_any |= np.asarray(mv)
+                if moved_any.all():
+                    break
+                w_scale = w_scale * 0.5
+            if not moved_any.all():
+                from ..logger import getLogger
+
+                getLogger().warning(
+                    "dynamic NS round %d: %d/%d thread starts never moved in "
+                    "the decorrelation walk (duplicated samples slightly "
+                    "overweight the merged posterior there).",
+                    dynamic_rounds, int((~moved_any).sum()), n_live,
+                )
             # thread run: same compiled core, same shapes; terminates on its
             # own dlogz criterion in thread-relative prior-mass units
             t_running = _RunningEvidence(n_live, n_batch=n_batch)
@@ -680,10 +699,17 @@ def run_nested(
 
     truncated = ess < min_ess
     if truncated:
+        if dynamic and dynamic_rounds >= max_dynamic_rounds:
+            hint = (
+                f"the dynamic thread budget ran out (max_dynamic_rounds="
+                f"{max_dynamic_rounds}); raise max_dynamic_rounds or n_live."
+            )
+        else:
+            hint = "Raise max_iter (or leave it None) or n_live."
         msg = (
             f"Nested-sampling posterior ESS is only {ess:.0f} < min_ess={min_ess:.0f} "
             f"after exhausting the iteration budget (max_iter={max_iter}); "
-            "quantiles are unreliable. Raise max_iter (or leave it None) or n_live."
+            f"quantiles are unreliable. {hint}"
         )
         if on_low_ess == "raise":
             raise RuntimeError(msg)

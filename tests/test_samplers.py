@@ -373,8 +373,10 @@ def test_merge_segments_two_runs_hand_counts():
     np.testing.assert_allclose(
         all_lnl, [1.0, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0, 5.5]
     )
-    # expected alive counts per event (thread activates after the death AT 2.0)
-    expected_n = np.array([2, 2, 4, 4, 4, 4, 3, 2, 1], dtype=float)
+    # expected alive counts per event (activation sorts FIRST at equal lnl,
+    # so the thread's points already count at the base death tied AT 2.0 —
+    # the documented boundary convention that also keeps -inf events safe)
+    expected_n = np.array([2, 4, 4, 4, 4, 4, 3, 2, 1], dtype=float)
     w = np.exp(all_logwt - all_lnl)  # prior-mass weight per event
     x = 1.0 - np.cumsum(w)  # remaining prior mass after each event
     np.testing.assert_allclose(
@@ -429,3 +431,23 @@ def test_nested_dynamic_rejects_multi_run():
             lambda x: -jnp.sum(x ** 2, axis=-1), lambda u: u, 2,
             jax.random.PRNGKey(0), n_runs=2, dynamic=True,
         )
+
+
+def test_merge_segments_inf_safe():
+    """-inf dead/live points (zero-probability prior regions) must flow
+    through the merge like the static assembly: shrinkage consumed, weight
+    -inf, no crash."""
+    from isochrones_tpu.samplers.nested import _assemble_weights, _merge_segments
+
+    rng = np.random.default_rng(1)
+    n_live = 50
+    dead_lnl = np.concatenate([[-np.inf, -np.inf], np.sort(rng.normal(size=98))])
+    live_lnl = np.concatenate([[-np.inf], dead_lnl[-1] + np.abs(rng.normal(size=n_live - 1))])
+    seg = dict(dead_lnl=dead_lnl, live_lnl=live_lnl, n_live=n_live, n_batch=1,
+               L0=-np.inf, all_u=rng.random((len(dead_lnl) + n_live, 2)))
+    _, all_lnl, all_logwt, logz, probs, ess, _, _ = _merge_segments([seg])
+    assert np.isfinite(logz)
+    assert np.all(all_logwt[~np.isfinite(all_lnl)] == -np.inf)
+    assert probs[~np.isfinite(all_lnl)].sum() == 0.0
+    _, _, _, logz_classic, _, _ = _assemble_weights(dead_lnl, live_lnl, n_live)
+    assert abs(logz - logz_classic) < 3.0 / n_live
