@@ -103,3 +103,30 @@ def test_polychord_vs_multinest_star_model():
         scale = max(0.5 * (q_mn[p][2] - q_mn[p][0]), 1e-12)
         delta = np.abs(q_pc[p] - q_mn[p]) / scale
         assert np.all(delta < 0.35), f"{p}: {q_pc[p]} vs {q_mn[p]} ({delta})"
+
+
+def test_polychord_dynamic_threads():
+    """dynamic=True composes with the slice-replacement core: the thread
+    rounds replay the SAME core (core= contract), reaching the ESS target
+    with the evidence unchanged."""
+    sigma = 0.1
+
+    def lnpost_v(x):
+        return -0.5 * jnp.sum((x / sigma) ** 2, axis=-1) - x.shape[-1] * 0.5 * np.log(
+            2 * np.pi * sigma ** 2
+        )
+
+    def prior_transform(u):
+        return -1.0 + 2.0 * u
+
+    d, min_ess = 3, 1200
+    res = run_polychord(
+        lnpost_v, prior_transform, d, jax.random.PRNGKey(5),
+        n_live=200, n_batch=8, dlogz=0.01, min_ess=min_ess, rng=7,
+        dynamic=True,
+    )
+    assert res.dynamic_rounds >= 1
+    assert res.ess >= min_ess and not res.truncated
+    expected = np.log(1.0 / 2.0 ** d)
+    assert res.logz == pytest.approx(expected, abs=max(3 * res.logzerr, 0.1))
+    np.testing.assert_allclose(res.posterior.std(axis=0), sigma, rtol=0.15)
