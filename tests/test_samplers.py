@@ -423,6 +423,17 @@ def test_nested_dynamic_reaches_ess_cheaply():
     assert abs(dynamic.logz - static.logz) < 3 * np.hypot(dynamic.logzerr, static.logzerr)
     assert np.abs(dynamic.posterior.mean(axis=0)).max() < 0.02
     np.testing.assert_allclose(dynamic.posterior.std(axis=0), sigma, rtol=0.15)
+    # full-distribution certificate: the analytic posterior is N(0, sigma)
+    # per axis (flat prior); a KS test catches merge-weighting errors that
+    # moments alone miss. Thin to ~independent draws (equal-weight resampling
+    # repeats rows), then demand p > 1e-3 on every axis.
+    from scipy import stats
+
+    for ax in range(d):
+        draws = np.unique(dynamic.posterior[:, ax])
+        assert len(draws) > 300
+        ks = stats.kstest(draws / sigma, "norm")
+        assert ks.pvalue > 1e-3, (ax, ks)
 
 
 def test_nested_dynamic_rejects_multi_run():
