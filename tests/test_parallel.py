@@ -199,3 +199,18 @@ def test_mag_accessor(model):
     _, _, _, mags = ic.interp_mag([60.0, 9.0, 0.0, 200.0, 0.1], ["J"])
     assert np.isclose(magJ, float(mags[0]))
     assert "J" in ic.mag.keys()
+
+
+@pytest.mark.slow
+def test_sharded_dynamic_nested(model):
+    """dynamic=True composes with mesh= (single-run chain sharding): the
+    thread rounds and the decorrelation walk both fan out through the same
+    mesh-wrapped lnlike, and the merged result matches the unsharded dynamic
+    run to float-rounding level."""
+    mesh = default_mesh(8, axis_names=("walkers",))
+    kw = dict(n_live_points=64, seed=5, min_ess=400, dlogz=0.5, dynamic=True)
+    r_plain = model.fit_multinest(**kw)
+    r_shard = model.fit_multinest(mesh=mesh, **kw)
+    assert r_plain.ess >= 400 and r_shard.ess >= 400
+    assert abs(r_shard.logz - r_plain.logz) < 1e-8
+    np.testing.assert_allclose(r_shard.logl, r_plain.logl, rtol=1e-10)
