@@ -540,11 +540,19 @@ class Bench:
             gamma=0.3, fB=0.3, bands=("J", "H", "K"), mass_range=(0.6, 2.0),
             ic=iso, rng=0, phot_unc=0.02, distance_scatter=0.0,
         )
+        # ladder must cover the sim's evolved stars: at age 9.0 even a 1.4
+        # Msun star sits at EEP ~857, so an (1, 800) ladder has zero support
+        # for the massive tail (the whole cluster lnlike is then -inf).
+        # eep_step=2 spans the full range at 700 ladder points — within the
+        # ~600-800-point TPU VMEM budget (docs/cluster.md).
         model = StarClusterModel(
-            iso, sim, eep_bounds=(1, 800), max_distance=3000, minq=0.2,
-            mass_bounds=(0.6, 2.0),
+            iso, sim, eep_bounds=(1, 1400), eep_step=2.0, max_distance=3000,
+            minq=0.2, mass_bounds=(0.6, 2.0),
         )
         base = np.asarray([9.0, 0.0, 300.0, 0.05, -2.0, 0.3, 0.3])
+        # support check BEFORE timing (a star outside the ladder makes the
+        # entire cluster lnlike -inf and the fit silently returns prior draws)
+        assert np.isfinite(float(model.lnpost(base))), "truth outside cluster model support"
         nwalkers, nburn, niter = (16, 300, 150) if self.on_tpu else (16, 10, 5)
         p0 = base[None, :] + self.rng.normal(
             0, [0.02, 0.02, 2.0, 0.01, 0.1, 0.03, 0.03], size=(nwalkers, 7)
@@ -556,7 +564,7 @@ class Bench:
                                 p0=p0, seed=3 + rep, moves="mixed")
             times.append(time.perf_counter() - t0)
         dt = times[-1]  # warm run (see bench_mcmc_fit)
-        assert np.isfinite(df["lnprob"]).any()
+        assert np.isfinite(df["lnprob"]).all(), "non-finite walker lnprob in cluster fit"
         return {
             "metric": f"end-to-end 50-star cluster MCMC fit ({nwalkers}w x {nburn}+{niter}, warm)",
             "value": round(dt, 2),
