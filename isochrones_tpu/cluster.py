@@ -238,9 +238,10 @@ class StarClusterModel(BasicStarModel):
 
         from .ops.cluster import cluster_lnmarginal
 
-        def block_lnlike(p, mv, mu, pv, pu, w):
-            """Cluster lnlike over one block of stars. The EEP-ladder model
-            evaluations are star-independent (duplicated per shard; cheap)."""
+        def block_lnmarg(p, mv, mu, pv, pu):
+            """Per-star marginal ln-likelihoods for one block of stars. The
+            EEP-ladder model evaluations are star-independent (duplicated per
+            shard; cheap)."""
             age, feh, distance, AV, alpha, gamma, fB = (p[i] for i in range(7))
             n_eep = eeps.shape[0]
             user = [eeps, jnp.broadcast_to(age, (n_eep,)), jnp.broadcast_to(feh, (n_eep,))]
@@ -290,16 +291,24 @@ class StarClusterModel(BasicStarModel):
             ln_dm_safe = jnp.where(finite, ln_dm, 0.0)
             masses_safe = jnp.where(finite, masses, 1.0)
 
-            lnmarg = cluster_lnmarginal(
+            return cluster_lnmarginal(
                 lnlike_prop, jnp.where(finite[:, None], model_mags, 0.0), masses_safe,
                 ln_dm_safe, eeps, mv, mu, alpha, gamma, fB, mass_lo, mass_hi, minq,
                 valid=valid, q_jacobian=self.q_jacobian, valid_k=finite,
             )  # (S_block,) — pallas kernel on TPU, XLA grid path elsewhere
+
+        def block_lnlike(p, mv, mu, pv, pu, w):
+            lnmarg = block_lnmarg(p, mv, mu, pv, pu)
             ok = w > 0
             good = jnp.isfinite(lnmarg)
             partial = jnp.sum(jnp.where(ok & good, lnmarg, 0.0))
             n_bad = jnp.sum(ok & ~good)
             return partial, n_bad
+
+        # per-star support diagnostic (host path; see star_lnmarginals)
+        self._star_lnmarg_fn = jax.jit(
+            lambda p: (block_lnmarg(p, mag_vals, mag_uncs, prop_vals, prop_uncs), star_w > 0)
+        )
 
         if mesh is None:
             def lnlike_one(p):
@@ -359,6 +368,24 @@ class StarClusterModel(BasicStarModel):
             return out.reshape(p.shape[:-1])
 
         return lnlike_batch
+
+    def star_lnmarginals(self, p):
+        """Per-star marginal ln-likelihoods at ``p`` — the support diagnostic.
+
+        The cluster lnlike is a SUM over members, so a single star with empty
+        (eep1, eep2) support — e.g. its true EEP above the ladder's
+        ``eep_bounds``, or NaN photometry — drives the whole fit to ``-inf``
+        while every other star looks fine. The reference fails the same way
+        with no diagnostic (cluster.py:316-341). Returns a pandas Series
+        aligned with the member catalog; ``-inf`` rows are the culprits
+        (fix: widen ``eep_bounds`` / coarsen ``eep_step`` / drop the row).
+        """
+        import pandas as pd
+
+        self._get_jit("lnlike")  # ensure the builder ran (sets _star_lnmarg_fn)
+        lnm, ok = self._star_lnmarg_fn(jnp.asarray(np.asarray(p, dtype=float)))
+        lnm = np.asarray(lnm)[np.asarray(ok)]  # drop mesh ghost-star padding
+        return pd.Series(lnm, index=self.stars.df.index[: len(lnm)], name="ln_marginal")
 
     def emcee_p0(self, n_walkers, rng=None):
         """Uniform draws inside the prior box (the reference raises here,
@@ -578,5 +605,17 @@ def clusterfit(
         minq=minq, halo_fraction=halo_fraction, max_AV=maxAV, name=name,
         eep_step=eep_step, q_jacobian=q_jacobian,
     )
+    # loud support check: one unsupported star makes EVERY walker -inf and
+    # the sampler silently returns prior draws
+    los, his = model._bounds_arrays()
+    probe = los + (his - los) * np.random.default_rng(0).random((8, len(los)))
+    if not np.isfinite(np.asarray(model.lnpost_batch(jnp.asarray(probe)))).any():
+        marg = model.star_lnmarginals(probe[0])
+        bad = marg.index[~np.isfinite(marg.values)].tolist()
+        getLogger().warning(
+            "cluster lnlike is -inf at all probe points; stars with no "
+            "(eep, q) support: %s — widen --mineep/--maxeep (or coarsen "
+            "--eep-step) or drop those rows.", bad,
+        )
     model.fit(overwrite=overwrite, n_live_points=nlive, max_iter=max_iter)
     return model

@@ -252,3 +252,31 @@ def test_cluster_star_sharding(sim):
         np.asarray(plain.lnpost_batch(jnp.asarray(batch))),
         rtol=1e-10,
     )
+
+
+def test_star_lnmarginals_support_diagnostic(sim):
+    """star_lnmarginals names the stars whose (eep, q) support is empty —
+    the all-or-nothing -inf trap the reference shares silently."""
+    truth = [9.0, 0.0, 500.0, 0.05, -2.0, 0.3, 0.3]
+
+    # full-coverage ladder: every member supported, total finite
+    wide = StarClusterModel(
+        sim.ic, sim, eep_bounds=(1, 95), max_distance=2000, minq=0.2, max_AV=0.2
+    )
+    marg_wide = wide.star_lnmarginals(truth)
+    assert len(marg_wide) == len(sim.df)
+    assert np.isfinite(marg_wide.values).all()
+    # the sum of per-star marginals IS the cluster lnlike
+    assert np.isclose(marg_wide.values.sum(), wide.lnlike(truth), rtol=1e-6)
+
+    # truncated ladder: evolved members lose support; lnlike -inf; the
+    # diagnostic points at the most evolved (most massive) members
+    narrow = StarClusterModel(
+        sim.ic, sim, eep_bounds=(1, 35), max_distance=2000, minq=0.2, max_AV=0.2
+    )
+    marg_narrow = narrow.star_lnmarginals(truth)
+    bad = ~np.isfinite(marg_narrow.values)
+    assert bad.any(), "expected some stars to lose support on the truncated ladder"
+    assert narrow.lnlike(truth) == -np.inf
+    masses = sim.df["mass_pri"].values
+    assert masses[bad].min() > np.median(masses[~bad])
