@@ -254,24 +254,14 @@ class BatchStarFitter:
         scripts/batch_starfit): each device advances its block of stars'
         live sets with zero communication, so sharded == unsharded exactly.
         """
-        from functools import partial as _partial
-
-        from .samplers.nested import (
-            _assemble_weights,
-            _logzerr_scale,
-            _mesh_constrain_leading,
-            _nested_core,
-        )
+        from .samplers.nested import run_nested_vmapped
 
         S, n_live = self.n_stars, int(n_live_points)
-        n_batch = max(1, min(int(n_batch), n_live // 4))
-        hard_cap = max_iter if max_iter is not None else 1000 * n_live
         rng = np.random.default_rng(seed)
         lnpost_data = self._build_lnpost_data()
         data = self.star_data
         los, his = self._bounds_arrays()
         los_j = jnp.asarray(los)
-        his_j = jnp.asarray(his)
 
         def star_lnlike(data_s, hi, u):
             # u: (B, 5) unit cube for ONE star -> lnpost at box params
@@ -283,26 +273,9 @@ class BatchStarFitter:
             )
             return lnpost_data(data_1, pars[None])[0]
 
-        @_partial(jax.jit, static_argnames=("n_steps",))
-        def batch_core(data, his, u0, lnl0, keys, scales, n_steps):
-            if mesh is not None:
-                data, his, u0, lnl0, keys, scales = _mesh_constrain_leading(
-                    (data, his, u0, lnl0, keys, scales), mesh
-                )
-
-            def one(data_s, hi, u0s, lnl0s, key, scale):
-                def lnlike_u(u):
-                    return star_lnlike(data_s, hi, u)
-
-                return _nested_core(
-                    lnlike_u, u0s, lnl0s, key, scale, n_live, n_steps,
-                    n_chains, n_repeat, n_batch=n_batch,
-                )
-
-            out = jax.vmap(one)(data, his, u0, lnl0, keys, scales)
-            if mesh is not None:
-                out = _mesh_constrain_leading(out, mesh)
-            return out
+        def make_lnlike_u(data_m):
+            data_s, hi = data_m
+            return lambda u: star_lnlike(data_s, hi, u)
 
         # ---- initialize live points (full-batch resample of -inf starts)
         u0 = rng.random((S, n_live, 5))
@@ -328,89 +301,21 @@ class BatchStarFitter:
                 int((~np.isfinite(lnl)).sum()),
             )
 
-        live_u = jnp.asarray(u0)
-        live_lnl = jnp.asarray(lnl)
-        keys = jax.random.split(jax.random.PRNGKey(seed if seed is not None else 0), S)
-        scales = jnp.full((S,), 0.5)
-        chunk_steps = max(max(n_live, 256) // n_batch, 8)
-        dead_lnl_chunks = []
-        dead_u_chunks = []
-        n_dead_total = 0
-        done = np.zeros(S, dtype=bool)
-        from .samplers.nested import _RunningEvidence
+        out = run_nested_vmapped(
+            make_lnlike_u, (data, jnp.asarray(his)), u0, lnl,
+            n_live=n_live, n_batch=n_batch, n_chains=n_chains,
+            n_repeat=n_repeat, n_equal=n_equal, dlogz=dlogz, min_ess=min_ess,
+            max_iter=max_iter, seed=seed, rng=rng, mesh=mesh, label="star",
+        )
 
-        running = _RunningEvidence(n_live, shape=(S,), n_batch=n_batch)
-        while n_dead_total < hard_cap:
-            n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
-            du, dl, live_u, live_lnl, keys, scales = batch_core(
-                data, his_j, live_u, live_lnl, keys, scales, n_steps
-            )
-            dead_u_chunks.append(np.asarray(du))  # (S, n_steps * K, 5)
-            dead_lnl_chunks.append(np.asarray(dl))
-            n_dead_total += n_steps * n_batch
-
-            # incremental dead-only evidence + ESS (see _RunningEvidence:
-            # O(chunk) per check, and the dlogz ratio uses the dead-only
-            # evidence rather than double-counting the live bound)
-            running.add(dead_lnl_chunks[-1])
-            live_now = np.asarray(live_lnl)
-            ln_x_last = running.ln_x
-            logz_dead, ess_now = running.status(live_now)
-            logz_remain = np.max(live_now, axis=1) + ln_x_last
-            frac = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain))
-            done = (frac < dlogz) & (ess_now >= min_ess)
-            if done.all():
-                break
-
-        dead_u = np.concatenate(dead_u_chunks, axis=1)
-        dead_lnl = np.concatenate(dead_lnl_chunks, axis=1)
-        live_u_np = np.asarray(live_u)
-        live_lnl_np = np.asarray(live_lnl)
-
-        # ---- per-star evidence + equal-weight posterior assembly
-        logz = np.empty(S)
-        logzerr = np.empty(S)
-        ess = np.empty(S)
-        samples = np.empty((S, n_equal, 5))
-        lnprob = np.empty((S, n_equal))
-        for s in range(S):
-            order, all_lnl, all_logwt, lz, probs, e = _assemble_weights(
-                dead_lnl[s], live_lnl_np[s], n_live, n_batch=n_batch
-            )
-            all_u = np.concatenate([dead_u[s], live_u_np[s][order]], axis=0)
-            finite = np.isfinite(all_logwt)
-            p = np.exp(all_logwt[finite] - lz)
-            h = float(np.sum(p * (all_lnl[finite] - lz)))
-            logz[s] = lz
-            logzerr[s] = np.sqrt(max(h, 0.0) * _logzerr_scale(n_live, n_batch))
-            ess[s] = e
-            if not np.isfinite(lz) or probs.sum() <= 0:
-                # star with zero posterior support everywhere (e.g. data
-                # inconsistent with the whole grid): NaN posterior rather
-                # than crashing the whole-catalog resampling
-                getLogger().warning(
-                    "fit_multinest: star %d has no posterior support "
-                    "(logz=%s); returning NaN samples for it.", s, lz,
-                )
-                samples[s] = np.nan
-                lnprob[s] = -np.inf
-                continue
-            idx = rng.choice(len(probs), size=n_equal, replace=True, p=probs)
-            samples[s] = los[None] + (his[s][None] - los[None]) * all_u[idx]
-            lnprob[s] = all_lnl[idx]
-
-        if not done.all():
-            getLogger().warning(
-                "fit_multinest: %d/%d stars hit the iteration budget before "
-                "dlogz+ESS termination; their quantiles/evidences may be "
-                "unreliable (raise max_iter or n_live_points).",
-                int((~done).sum()), S,
-            )
-
-        self._samples = samples
-        self._lnprob = lnprob
-        self._evidence = (logz, logzerr)
-        return dict(logz=logz, logzerr=logzerr, ess=ess, n_dead=n_dead_total, converged=done)
+        # unit cube -> per-star parameter boxes (NaN no-support rows propagate)
+        self._samples = los[None, None] + (his[:, None] - los[None, None]) * out["samples_u"]
+        self._lnprob = out["lnl"]
+        self._evidence = (out["logz"], out["logzerr"])
+        return dict(
+            logz=out["logz"], logzerr=out["logzerr"], ess=out["ess"],
+            n_dead=out["n_dead"], converged=out["converged"],
+        )
 
     @property
     def evidence(self):

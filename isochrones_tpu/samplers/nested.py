@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["NestedResult", "run_nested"]
+__all__ = ["NestedResult", "run_nested", "run_nested_vmapped"]
 
 
 class NestedResult(NamedTuple):
@@ -913,4 +913,170 @@ def _run_nested_multi(
         ess=ess,
         truncated=truncated,
         logz_runs=logz_runs,
+    )
+
+def run_nested_vmapped(
+    make_lnlike_u,
+    data,
+    live_u,
+    live_lnl,
+    *,
+    n_live: int,
+    n_batch: int = 8,
+    n_chains: int = 8,
+    n_repeat: int = 24,
+    n_equal: int = 2000,
+    dlogz: float = 0.01,
+    min_ess: float = 100.0,
+    max_iter: int = None,
+    seed=None,
+    rng=None,
+    mesh=None,
+    label: str = "problem",
+):
+    """Nested sampling over a whole FAMILY of independent problems, vmapped
+    into one XLA program per shrinkage chunk.
+
+    This is the engine behind :meth:`BatchStarFitter.fit_multinest` (the
+    reference's SLURM-array-of-MultiNest-runs, scripts/batch_starfit,
+    collapsed onto one chip) exposed generically: any per-problem likelihood
+    — per-star models, simulated-cluster replicas for SBC, hyperparameter
+    sweeps — rides the same lockstep advance. Every problem keeps its own
+    live set, walk scale, and RNG stream; termination is per-problem
+    (dlogz AND min_ess), and the chunk loop stops when all problems are done.
+
+    Parameters
+    ----------
+    make_lnlike_u : callable(data_m) -> (lnlike_u : (B, n_params) unit-cube
+        points -> (B,) ln-likelihoods) for ONE problem's data pytree slice.
+    data : pytree whose every leaf has leading axis M (one row per problem).
+    live_u, live_lnl : (M, n_live, n_params) / (M, n_live) initial live
+        points in the unit cube with their (finite) ln-likelihoods — draw
+        from the prior and rejection-resample -inf rows before calling
+        (see ``BatchStarFitter.fit_multinest`` for the pattern).
+    rng : optional ``np.random.Generator`` for the equal-weight resampling
+        (takes precedence over ``seed``; lets a caller keep one stream
+        across init + run).
+    mesh : optional ``jax.sharding.Mesh`` — shards the problem axis over the
+        mesh's first axis; problems are independent, so sharded == unsharded
+        exactly (zero collectives).
+
+    Returns a dict with per-problem arrays: ``logz``, ``logzerr``, ``ess``,
+    ``converged`` (bool), ``samples_u`` (M, n_equal, n_params) equal-weight
+    posterior draws in the UNIT CUBE (NaN for problems with no posterior
+    support), ``lnl`` (M, n_equal), and the scalar ``n_dead``.
+    """
+    from functools import partial as _partial
+
+    from ..logger import getLogger
+
+    M, n_live_in, n_params = live_u.shape
+    if n_live_in != int(n_live):
+        raise ValueError(f"live_u has {n_live_in} live points, expected n_live={n_live}")
+    n_batch = max(1, min(int(n_batch), n_live // 4))
+    hard_cap = max_iter if max_iter is not None else 1000 * n_live
+    rng = np.random.default_rng(seed) if rng is None else rng
+
+    if mesh is not None:
+        from ..parallel import mesh_constrain_leading as _constrain
+    else:
+        _constrain = None
+
+    @_partial(jax.jit, static_argnames=("n_steps",))
+    def batch_core(data, u0, lnl0, keys, scales, n_steps):
+        if mesh is not None:
+            data, u0, lnl0, keys, scales = _constrain((data, u0, lnl0, keys, scales), mesh)
+
+        def one(data_m, u0s, lnl0s, key, scale):
+            return _nested_core(
+                make_lnlike_u(data_m), u0s, lnl0s, key, scale, n_live, n_steps,
+                n_chains, n_repeat, n_batch=n_batch,
+            )
+
+        out = jax.vmap(one)(data, u0, lnl0, keys, scales)
+        if mesh is not None:
+            out = _constrain(out, mesh)
+        return out
+
+    live_u = jnp.asarray(live_u)
+    live_lnl = jnp.asarray(live_lnl)
+    keys = jax.random.split(jax.random.PRNGKey(seed if seed is not None else 0), M)
+    scales = jnp.full((M,), 0.5)
+    chunk_steps = max(max(n_live, 256) // n_batch, 8)
+    dead_lnl_chunks = []
+    dead_u_chunks = []
+    n_dead_total = 0
+    done = np.zeros(M, dtype=bool)
+
+    running = _RunningEvidence(n_live, shape=(M,), n_batch=n_batch)
+    while n_dead_total < hard_cap:
+        n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
+        du, dl, live_u, live_lnl, keys, scales = batch_core(
+            data, live_u, live_lnl, keys, scales, n_steps
+        )
+        dead_u_chunks.append(np.asarray(du))  # (M, n_steps * K, n_params)
+        dead_lnl_chunks.append(np.asarray(dl))
+        n_dead_total += n_steps * n_batch
+
+        # incremental dead-only evidence + ESS (O(chunk) per check; the
+        # dlogz ratio uses the dead-only evidence rather than
+        # double-counting the live bound)
+        running.add(dead_lnl_chunks[-1])
+        live_now = np.asarray(live_lnl)
+        ln_x_last = running.ln_x
+        logz_dead, ess_now = running.status(live_now)
+        logz_remain = np.max(live_now, axis=1) + ln_x_last
+        frac = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain))
+        done = (frac < dlogz) & (ess_now >= min_ess)
+        if done.all():
+            break
+
+    dead_u = np.concatenate(dead_u_chunks, axis=1)
+    dead_lnl = np.concatenate(dead_lnl_chunks, axis=1)
+    live_u_np = np.asarray(live_u)
+    live_lnl_np = np.asarray(live_lnl)
+
+    # ---- per-problem evidence + equal-weight posterior assembly
+    logz = np.empty(M)
+    logzerr = np.empty(M)
+    ess = np.empty(M)
+    samples_u = np.empty((M, n_equal, n_params))
+    lnl_eq = np.empty((M, n_equal))
+    for s in range(M):
+        order, all_lnl, all_logwt, lz, probs, e = _assemble_weights(
+            dead_lnl[s], live_lnl_np[s], n_live, n_batch=n_batch
+        )
+        all_u = np.concatenate([dead_u[s], live_u_np[s][order]], axis=0)
+        finite = np.isfinite(all_logwt)
+        p = np.exp(all_logwt[finite] - lz)
+        h = float(np.sum(p * (all_lnl[finite] - lz)))
+        logz[s] = lz
+        logzerr[s] = np.sqrt(max(h, 0.0) * _logzerr_scale(n_live, n_batch))
+        ess[s] = e
+        if not np.isfinite(lz) or probs.sum() <= 0:
+            # problem with zero posterior support everywhere (e.g. data
+            # inconsistent with the whole model): NaN posterior rather
+            # than crashing the whole-family resampling
+            getLogger().warning(
+                "run_nested_vmapped: %s %d has no posterior support "
+                "(logz=%s); returning NaN samples for it.", label, s, lz,
+            )
+            samples_u[s] = np.nan
+            lnl_eq[s] = -np.inf
+            continue
+        idx = rng.choice(len(probs), size=n_equal, replace=True, p=probs)
+        samples_u[s] = all_u[idx]
+        lnl_eq[s] = all_lnl[idx]
+
+    if not done.all():
+        getLogger().warning(
+            "run_nested_vmapped: %d/%d %ss hit the iteration budget before "
+            "dlogz+ESS termination; their quantiles/evidences may be "
+            "unreliable (raise max_iter or n_live).",
+            int((~done).sum()), M, label,
+        )
+
+    return dict(
+        logz=logz, logzerr=logzerr, ess=ess, n_dead=n_dead_total,
+        converged=done, samples_u=samples_u, lnl=lnl_eq,
     )
