@@ -179,7 +179,12 @@ class StarClusterModel(BasicStarModel):
 
         return lnprior_batch
 
-    def _build_lnlike_batch(self):
+    def _build_block_lnmarg(self):
+        """Dataset-parametric core: the per-star marginal ln-likelihoods as a
+        pure function of the photometry/property stacks. Everything closed
+        over is model structure (grid, EEP ladder, prop layout, bounds) — NOT
+        catalog data — so the returned function can be vmapped over many
+        datasets sharing one program (cluster SBC, batched refits)."""
         ic = self.ic
         mineep, maxeep = self.bounds("eep")
         # count-based ladder: arange(min, max + step, step) overshoots maxeep
@@ -196,45 +201,8 @@ class StarClusterModel(BasicStarModel):
         band_icols = tuple(bc.column_index[b] for b in self.bands)
         mass_lo, mass_hi = self.bounds("mass")
         minq = self.minq
-        mag_vals_np = np.stack([v for _, (v, u) in self.stars.iter_bands()], axis=-1)
-        if np.isnan(mag_vals_np).any():
-            getLogger().warning(
-                "StarClusterModel: %d stars have NaN photometry; the cluster "
-                "likelihood will be -inf everywhere. Drop those rows.",
-                int(np.isnan(mag_vals_np).any(axis=1).sum()),
-            )
-        prop_list = [(p, np.asarray(v), np.asarray(u)) for p, (v, u) in self.stars.iter_props()]
-        prop_icols = {p: ci[p] for p, _, _ in prop_list if p != "parallax"}
-        prop_meta = [(p == "parallax", prop_icols.get(p)) for p, _, _ in prop_list]
-        n_stars = mag_vals_np.shape[0]
-
-        # stack per-star observation arrays (star axis leading for sharding)
-        mag_uncs_np = np.stack([u for _, (v, u) in self.stars.iter_bands()], axis=-1)
-        if prop_list:
-            prop_vals_np = np.stack([v for _, v, _ in prop_list], axis=-1)  # (S, n_props)
-            prop_uncs_np = np.stack([u for _, _, u in prop_list], axis=-1)
-        else:
-            prop_vals_np = np.zeros((n_stars, 0))
-            prop_uncs_np = np.ones((n_stars, 0))
-        star_w_np = np.ones(n_stars)
-
-        mesh = self.mesh
-        if mesh is not None:
-            axis = mesh.axis_names[0]
-            n_dev = mesh.shape[axis]
-            pad = (-n_stars) % n_dev
-            if pad:  # ghost stars with zero weight
-                mag_vals_np = np.concatenate([mag_vals_np, np.zeros((pad, mag_vals_np.shape[1]))])
-                mag_uncs_np = np.concatenate([mag_uncs_np, np.ones((pad, mag_uncs_np.shape[1]))])
-                prop_vals_np = np.concatenate([prop_vals_np, np.zeros((pad, prop_vals_np.shape[1]))])
-                prop_uncs_np = np.concatenate([prop_uncs_np, np.ones((pad, prop_uncs_np.shape[1]))])
-                star_w_np = np.concatenate([star_w_np, np.zeros(pad)])
-
-        mag_vals = jnp.asarray(mag_vals_np)
-        mag_uncs = jnp.asarray(mag_uncs_np)
-        prop_vals = jnp.asarray(prop_vals_np)
-        prop_uncs = jnp.asarray(prop_uncs_np)
-        star_w = jnp.asarray(star_w_np)
+        prop_names = [p for p, _ in self.stars.iter_props()]
+        prop_meta = [(p == "parallax", None if p == "parallax" else ci[p]) for p in prop_names]
 
         from .ops.cluster import cluster_lnmarginal
 
@@ -297,6 +265,33 @@ class StarClusterModel(BasicStarModel):
                 valid=valid, q_jacobian=self.q_jacobian, valid_k=finite,
             )  # (S_block,) — pallas kernel on TPU, XLA grid path elsewhere
 
+        return block_lnmarg
+
+    @property
+    def _n_ladder(self):
+        mineep, maxeep = self.bounds("eep")
+        return int(np.floor((float(maxeep) - float(mineep)) / self.eep_step + 1e-9)) + 1
+
+    def _build_lnlike_dataset(self):
+        """Cluster ln-likelihood as a pure function of the observations:
+        ``lnlike(p (7,), mag_vals (S, B), mag_uncs (S, B), prop_vals (S, P),
+        prop_uncs (S, P)) -> scalar``. vmap it over a leading dataset axis to
+        fit M simulated replicas of this model in ONE program (cluster SBC
+        via :func:`~isochrones_tpu.samplers.nested.run_nested_vmapped`)."""
+        block_lnmarg = self._build_block_lnmarg()
+
+        def lnlike_dataset(p, mv, mu, pv, pu):
+            lnmarg = block_lnmarg(p, mv, mu, pv, pu)
+            good = jnp.isfinite(lnmarg)
+            total = jnp.sum(jnp.where(good, lnmarg, 0.0))
+            return jnp.where(good.all(), total, -jnp.inf)
+
+        return lnlike_dataset
+
+    def _build_lnlike_batch(self):
+        block_lnmarg = self._build_block_lnmarg()
+        n_ladder = self._n_ladder
+
         def block_lnlike(p, mv, mu, pv, pu, w):
             lnmarg = block_lnmarg(p, mv, mu, pv, pu)
             ok = w > 0
@@ -304,6 +299,43 @@ class StarClusterModel(BasicStarModel):
             partial = jnp.sum(jnp.where(ok & good, lnmarg, 0.0))
             n_bad = jnp.sum(ok & ~good)
             return partial, n_bad
+
+        # ---- stack per-star observation arrays (star axis leading for sharding)
+        mag_vals_np = np.stack([v for _, (v, u) in self.stars.iter_bands()], axis=-1)
+        if np.isnan(mag_vals_np).any():
+            getLogger().warning(
+                "StarClusterModel: %d stars have NaN photometry; the cluster "
+                "likelihood will be -inf everywhere. Drop those rows.",
+                int(np.isnan(mag_vals_np).any(axis=1).sum()),
+            )
+        mag_uncs_np = np.stack([u for _, (v, u) in self.stars.iter_bands()], axis=-1)
+        prop_list = [(p, np.asarray(v), np.asarray(u)) for p, (v, u) in self.stars.iter_props()]
+        n_stars = mag_vals_np.shape[0]
+        if prop_list:
+            prop_vals_np = np.stack([v for _, v, _ in prop_list], axis=-1)  # (S, n_props)
+            prop_uncs_np = np.stack([u for _, _, u in prop_list], axis=-1)
+        else:
+            prop_vals_np = np.zeros((n_stars, 0))
+            prop_uncs_np = np.ones((n_stars, 0))
+        star_w_np = np.ones(n_stars)
+
+        mesh = self.mesh
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            n_dev = mesh.shape[axis]
+            pad = (-n_stars) % n_dev
+            if pad:  # ghost stars with zero weight
+                mag_vals_np = np.concatenate([mag_vals_np, np.zeros((pad, mag_vals_np.shape[1]))])
+                mag_uncs_np = np.concatenate([mag_uncs_np, np.ones((pad, mag_uncs_np.shape[1]))])
+                prop_vals_np = np.concatenate([prop_vals_np, np.zeros((pad, prop_vals_np.shape[1]))])
+                prop_uncs_np = np.concatenate([prop_uncs_np, np.ones((pad, prop_uncs_np.shape[1]))])
+                star_w_np = np.concatenate([star_w_np, np.zeros(pad)])
+
+        mag_vals = jnp.asarray(mag_vals_np)
+        mag_uncs = jnp.asarray(mag_uncs_np)
+        prop_vals = jnp.asarray(prop_vals_np)
+        prop_uncs = jnp.asarray(prop_uncs_np)
+        star_w = jnp.asarray(star_w_np)
 
         # per-star support diagnostic (host path; see star_lnmarginals)
         self._star_lnmarg_fn = jax.jit(
@@ -372,13 +404,18 @@ class StarClusterModel(BasicStarModel):
     def star_lnmarginals(self, p):
         """Per-star marginal ln-likelihoods at ``p`` — the support diagnostic.
 
-        The cluster lnlike is a SUM over members, so a single star with empty
-        (eep1, eep2) support — e.g. its true EEP above the ladder's
-        ``eep_bounds``, or NaN photometry — drives the whole fit to ``-inf``
-        while every other star looks fine. The reference fails the same way
-        with no diagnostic (cluster.py:316-341). Returns a pandas Series
-        aligned with the member catalog; ``-inf`` rows are the culprits
-        (fix: widen ``eep_bounds`` / coarsen ``eep_step`` / drop the row).
+        The cluster lnlike is a SUM over members, so a single poisoned star
+        drives the whole fit while every other star looks fine. The
+        reference fails the same way with no diagnostic (cluster.py:316-341).
+        Returns a pandas Series aligned with the member catalog:
+
+        * non-finite rows (NaN photometry -> NaN; no ladder cell inside the
+          mass box -> -inf) have genuinely empty (eep1, eep2) support — drop
+          the row or fix the bounds; one such row makes the whole lnlike
+          -inf.
+        * extremely negative rows (≲ -10³) are members the ladder can't
+          match — e.g. true EEP above ``eep_bounds`` (widen the bounds).
+          These stay finite (underflow-safe integration) but drag the fit.
         """
         import pandas as pd
 
@@ -614,8 +651,8 @@ def clusterfit(
         bad = marg.index[~np.isfinite(marg.values)].tolist()
         getLogger().warning(
             "cluster lnlike is -inf at all probe points; stars with no "
-            "(eep, q) support: %s — widen --mineep/--maxeep (or coarsen "
-            "--eep-step) or drop those rows.", bad,
+            "(eep, q) support (NaN photometry, or no ladder cell inside "
+            "the mass box): %s — drop those rows or fix the bounds.", bad,
         )
     model.fit(overwrite=overwrite, n_live_points=nlive, max_iter=max_iter)
     return model

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 __all__ = [
     "calc_lnlike_grid",
     "integrate_over_eeps",
+    "integrate_over_eeps_ln",
     "cluster_lnlike",
     "cluster_lnmarginal",
     "logaddexp",
@@ -154,7 +155,20 @@ def integrate_over_eeps(lnlike_grid, eeps):
     """Double trapezoid over (eep2 then eep1) per star
     (reference cluster_utils.py:108-128). Returns (Nstars,) linear-space
     marginalized likelihoods."""
-    like = jnp.exp(lnlike_grid)  # -inf -> 0
+    return jnp.exp(integrate_over_eeps_ln(lnlike_grid, eeps))
+
+
+def integrate_over_eeps_ln(lnlike_grid, eeps):
+    """Log-space :func:`integrate_over_eeps`: (Nstars,) ln of the double
+    trapezoid, max-shifted per star. The raw exp-space sum (which the
+    reference uses, cluster_utils.py:108-128) underflows to exactly 0 — and
+    the marginal to -inf — once a star's whole (eep1, eep2) grid drops below
+    ~-745 nats, which real prior boxes reach at their distance/age edges;
+    a nested/MCMC sampler then sees a spurious zero-support region. The
+    pallas path streams a shifted logsumexp and never had the problem."""
+    m = jnp.max(lnlike_grid, axis=(1, 2))  # (Nstars,)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    like = jnp.exp(lnlike_grid - m_safe[:, None, None])  # -inf -> 0, max -> 1
     n = eeps.shape[0]
     de = eeps[1:] - eeps[:-1]  # (Neep-1,)
 
@@ -165,7 +179,8 @@ def integrate_over_eeps(lnlike_grid, eeps):
     row = jnp.sum(jnp.where(kmask[None], pair, 0.0), axis=-1)  # (Nstars, Neep)
 
     # outer trapz over j
-    return jnp.sum(0.5 * (row[:, :-1] + row[:, 1:]) * de[None, :], axis=-1)
+    integral = jnp.sum(0.5 * (row[:, :-1] + row[:, 1:]) * de[None, :], axis=-1)
+    return m_safe + jnp.log(integral)
 
 
 def cluster_lnmarginal(
@@ -225,7 +240,7 @@ def cluster_lnmarginal(
         alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid=valid,
         q_jacobian=q_jacobian, valid_k=valid_k,
     )
-    return jnp.log(integrate_over_eeps(grid, eeps))
+    return integrate_over_eeps_ln(grid, eeps)
 
 
 @partial(jax.jit, static_argnames=())

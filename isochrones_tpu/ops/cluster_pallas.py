@@ -22,14 +22,15 @@ HBM traffic drops from O(S*E^2*B) to O(E^2) per evaluation; the kernel
 is VPU-bound (transcendentals), which is the speed-of-light regime for
 this op. Numerics: the integral accumulates as a STREAMING weighted
 log-sum-exp (per-star running max + rescaled sum across tiles), so the
-result is exact up to rounding at any magnitude — strictly better than
-the XLA path's raw ``exp``, which underflows whole marginals to zero
-below ~-745 (f64) / ~-88 (f32).
+result is exact up to rounding at any magnitude. The XLA grid path's
+``integrate_over_eeps_ln`` applies the equivalent per-star max shift, so
+both backends return finite tiny ln-marginals where the reference's raw
+exp-space trapezoid (cluster_utils.py:108-128) underflows whole marginals
+to -inf below ~-745 nats (f64) / ~-88 (f32).
 
-Semantics deviations: only that underflow behavior (the pallas path can
-return a finite tiny ln-marginal where the grid path returns -inf); the
-reference's lower-triangle/q-floor/validity masking is folded into the
-zero pattern of the weight matrix.
+Semantics deviations from the reference: only that underflow behavior;
+the lower-triangle/q-floor/validity masking is folded into the zero
+pattern of the weight matrix.
 """
 
 from __future__ import annotations

@@ -254,9 +254,34 @@ def test_cluster_star_sharding(sim):
     )
 
 
+def test_integrate_underflow_safe():
+    """A grid whose max sits below exp-underflow (-745 in f64) must yield a
+    finite ln-marginal, not -inf — prior-box distance/age edges reach this
+    regime and a sampler would see a spurious zero-support region there.
+    (The reference's exp-space trapezoid underflows; both our backends
+    max-shift.)"""
+    from isochrones_tpu.ops.cluster import integrate_over_eeps_ln
+
+    rng = np.random.default_rng(1)
+    eeps = jnp.asarray(np.arange(10.0, 22.0))
+    grid = jnp.asarray(rng.normal(-2000.0, 5.0, (3, 12, 12)))
+    # keep the reference's lower-triangle support pattern
+    tri = np.tril(np.ones((12, 12), dtype=bool), k=-1)
+    grid = jnp.where(jnp.asarray(tri)[None], grid, -jnp.inf)
+    lnm = np.asarray(integrate_over_eeps_ln(grid, eeps))
+    assert np.isfinite(lnm).all()
+    assert (lnm < -1900).all()
+    # shift-invariance: adding a constant shifts the ln-marginal exactly
+    lnm_up = np.asarray(integrate_over_eeps_ln(grid + 1500.0, eeps))
+    np.testing.assert_allclose(lnm_up, lnm + 1500.0, rtol=1e-12)
+    # all -inf (genuinely empty support) still returns -inf
+    empty = jnp.full((2, 12, 12), -jnp.inf)
+    assert (np.asarray(integrate_over_eeps_ln(empty, eeps)) == -np.inf).all()
+
+
 def test_star_lnmarginals_support_diagnostic(sim):
-    """star_lnmarginals names the stars whose (eep, q) support is empty —
-    the all-or-nothing -inf trap the reference shares silently."""
+    """star_lnmarginals names the members that poison a cluster fit —
+    the all-or-nothing trap the reference shares silently."""
     truth = [9.0, 0.0, 500.0, 0.05, -2.0, 0.3, 0.3]
 
     # full-coverage ladder: every member supported, total finite
@@ -269,14 +294,32 @@ def test_star_lnmarginals_support_diagnostic(sim):
     # the sum of per-star marginals IS the cluster lnlike
     assert np.isclose(marg_wide.values.sum(), wide.lnlike(truth), rtol=1e-6)
 
-    # truncated ladder: evolved members lose support; lnlike -inf; the
+    # truncated ladder: evolved members can't be matched anywhere on the
+    # ladder — with the underflow-safe integration their marginals stay
+    # FINITE but crater (the reference returns -inf here), and the
     # diagnostic points at the most evolved (most massive) members
     narrow = StarClusterModel(
         sim.ic, sim, eep_bounds=(1, 35), max_distance=2000, minq=0.2, max_AV=0.2
     )
     marg_narrow = narrow.star_lnmarginals(truth)
-    bad = ~np.isfinite(marg_narrow.values)
-    assert bad.any(), "expected some stars to lose support on the truncated ladder"
-    assert narrow.lnlike(truth) == -np.inf
+    assert np.isfinite(marg_narrow.values).all()
+    bad = marg_narrow.values < -1e3
+    assert bad.any(), "expected truncated-ladder members to crater"
     masses = sim.df["mass_pri"].values
     assert masses[bad].min() > np.median(masses[~bad])
+
+    # genuinely empty support (NaN photometry) is the -inf case the
+    # clusterfit probe warning names
+    import pandas as pd
+    from isochrones_tpu.catalog import StarCatalog
+
+    df = sim.df.copy()
+    df.loc[df.index[3], "J_mag"] = np.nan
+    cat = StarCatalog(df, bands=("J", "H", "K"), props=("parallax",))
+    poisoned = StarClusterModel(
+        sim.ic, cat, eep_bounds=(1, 95), max_distance=2000, minq=0.2, max_AV=0.2
+    )
+    marg_bad = poisoned.star_lnmarginals(truth)
+    assert not np.isfinite(marg_bad.values[3])  # NaN photometry -> NaN marginal
+    assert np.isfinite(np.delete(marg_bad.values, 3)).all()
+    assert poisoned.lnlike(truth) == -np.inf
