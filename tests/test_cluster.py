@@ -254,6 +254,29 @@ def test_cluster_star_sharding(sim):
     )
 
 
+def test_lnlike_dataset_matches_catalog_lnlike(sim):
+    """The dataset-parametric lnlike (observations as ARGUMENTS — the hook
+    for vmapping M simulated replicas into one program, e.g. cluster SBC)
+    must agree exactly with the catalog-built lnlike on the model's own
+    stacked data."""
+    model = StarClusterModel(
+        sim.ic, sim, eep_bounds=(1, 95), max_distance=2000, minq=0.2, max_AV=0.2
+    )
+    mv = jnp.asarray(np.stack([v for _, (v, u) in sim.iter_bands()], axis=-1))
+    mu = jnp.asarray(np.stack([u for _, (v, u) in sim.iter_bands()], axis=-1))
+    pv = jnp.asarray(np.stack([np.asarray(v) for _, (v, u) in sim.iter_props()], axis=-1))
+    pu = jnp.asarray(np.stack([np.asarray(u) for _, (v, u) in sim.iter_props()], axis=-1))
+
+    lnlike_ds = model._build_lnlike_dataset()
+    rng = np.random.default_rng(5)
+    pts = np.array([9.0, 0.0, 500.0, 0.05, -2.0, 0.3, 0.3]) + 0.02 * rng.standard_normal((6, 7))
+    got = np.asarray(
+        jnp.stack([lnlike_ds(jnp.asarray(p), mv, mu, pv, pu) for p in pts])
+    )
+    want = np.asarray(model.lnlike_batch(jnp.asarray(pts)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 def test_integrate_underflow_safe():
     """A grid whose max sits below exp-underflow (-745 in f64) must yield a
     finite ln-marginal, not -inf — prior-box distance/age edges reach this
