@@ -187,11 +187,7 @@ class StarClusterModel(BasicStarModel):
         datasets sharing one program (cluster SBC, batched refits)."""
         ic = self.ic
         mineep, maxeep = self.bounds("eep")
-        # count-based ladder: arange(min, max + step, step) overshoots maxeep
-        # for non-divisor steps (or via float rounding), integrating
-        # likelihood mass outside the declared eep bounds box
-        n_ladder = int(np.floor((float(maxeep) - float(mineep)) / self.eep_step + 1e-9)) + 1
-        eeps = float(mineep) + self.eep_step * jnp.arange(n_ladder)
+        eeps = float(mineep) + self.eep_step * jnp.arange(self._n_ladder)
         io = tuple(ic._param_index_order)
         model = ic.model
         bc = ic.bc
@@ -269,6 +265,10 @@ class StarClusterModel(BasicStarModel):
 
     @property
     def _n_ladder(self):
+        """Marginalization-ladder length. Count-based: arange(min, max +
+        step, step) would overshoot maxeep for non-divisor steps (or via
+        float rounding), integrating likelihood mass outside the declared
+        eep bounds box."""
         mineep, maxeep = self.bounds("eep")
         return int(np.floor((float(maxeep) - float(mineep)) / self.eep_step + 1e-9)) + 1
 

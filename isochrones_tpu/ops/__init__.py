@@ -5,7 +5,13 @@ from .interp import GridData, GridInterpolator, compute_axis_maps, interp_nd, in
 from .mags import interp_mag, interp_mags
 from .likelihood import gauss_lnprob, star_lnlike, stack_components, LOG_ONE_OVER_ROOT_2PI
 from .rootfind import find_closest_grid, find_closest_grid_batch
-from .cluster import calc_lnlike_grid, cluster_lnlike, cluster_lnmarginal, integrate_over_eeps
+from .cluster import (
+    calc_lnlike_grid,
+    cluster_lnlike,
+    cluster_lnmarginal,
+    integrate_over_eeps,
+    integrate_over_eeps_ln,
+)
 from .eep import interp_eep, get_eep_newton, searchsorted_rows
 
 __all__ = [
@@ -25,6 +31,7 @@ __all__ = [
     "compute_axis_maps",
     "calc_lnlike_grid",
     "integrate_over_eeps",
+    "integrate_over_eeps_ln",
     "cluster_lnlike",
     "cluster_lnmarginal",
     "interp_eep",

@@ -250,11 +250,14 @@ def cluster_lnlike(
 ):
     """Fused grid build + marginalization + star-sum (reference
     cluster.py:365-378). Returns scalar total lnlike (-inf if any star has
-    zero marginal likelihood)."""
+    zero marginal likelihood). Underflow-safe: the per-star marginals come
+    from the max-shifted :func:`integrate_over_eeps_ln`, so a star whose
+    whole grid sits below exp-underflow contributes its tiny-but-finite
+    ln-marginal instead of zeroing the cluster."""
     grid = calc_lnlike_grid(
         lnlike_prop, model_mags, masses, ln_dm_deeps, mag_values, mag_uncs,
         alpha, gamma, fB, mass_lo, mass_hi, q_lo, valid=valid,
     )
-    like_tot = integrate_over_eeps(grid, eeps)
-    total = jnp.sum(jnp.log(like_tot))
-    return jnp.where(jnp.any(like_tot <= 0) | jnp.isnan(total), -jnp.inf, total)
+    ln_marg = integrate_over_eeps_ln(grid, eeps)
+    total = jnp.sum(ln_marg)
+    return jnp.where(jnp.any(jnp.isneginf(ln_marg)) | jnp.isnan(total), -jnp.inf, total)
