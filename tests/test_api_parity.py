@@ -48,11 +48,13 @@ MODULE_MAP = {
     "query.vizier": ["isochrones_tpu.query.vizier"],
     "query.catalog": ["isochrones_tpu.query.catalog"],
     "mist": ["isochrones_tpu.mist"],
-    "mist.eep": ["isochrones_tpu.grids.mist_eep"],
-    "mist.isochrone": ["isochrones_tpu.mist"],
-    "mist.models": ["isochrones_tpu.grids.mist"],
-    "mist.bc": ["isochrones_tpu.grids.mist"],
-    "mist.utils": ["isochrones_tpu.grids.mist_eep"],
+    # exact-path compat submodules: a reference user's import line works
+    # with s/isochrones/isochrones_tpu/ verbatim
+    "mist.eep": ["isochrones_tpu.mist.eep"],
+    "mist.isochrone": ["isochrones_tpu.mist.isochrone"],
+    "mist.models": ["isochrones_tpu.mist.models"],
+    "mist.bc": ["isochrones_tpu.mist.bc"],
+    "mist.utils": ["isochrones_tpu.mist.utils"],
 }
 
 # intentional deviations: reference names we deliberately do not provide,
