@@ -22,26 +22,27 @@ REFERENCE_ROOT = "/root/reference/isochrones"
 # reference module (relative to the package root) -> our module(s) that must
 # collectively provide its public names
 MODULE_MAP = {
-    "eep": ["isochrones_tpu.eep_fit"],
+    "eep": ["isochrones_tpu.eep"],
     "isochrone": ["isochrones_tpu.isochrone"],
-    "cluster_utils": ["isochrones_tpu.ops.cluster", "isochrones_tpu.cluster"],
+    "cluster_utils": ["isochrones_tpu.cluster_utils"],
     "populations": ["isochrones_tpu.populations"],
     "cluster": ["isochrones_tpu.cluster"],
     "fit": ["isochrones_tpu.fit"],
+    "version": ["isochrones_tpu.version"],
     "priors": ["isochrones_tpu.priors"],
     "extinction": ["isochrones_tpu.extinction"],
-    "grid": ["isochrones_tpu.grids.base"],
-    "likelihood": ["isochrones_tpu.ops.likelihood"],
+    "grid": ["isochrones_tpu.grid"],
+    "likelihood": ["isochrones_tpu.likelihood"],
     "starfit": ["isochrones_tpu.starfit"],
     "starmodel": ["isochrones_tpu.starmodel", "isochrones_tpu.treemodel"],
     "interp": ["isochrones_tpu.interp"],
-    "mags": ["isochrones_tpu.ops.mags"],
+    "mags": ["isochrones_tpu.mags"],
     "observation": ["isochrones_tpu.observation"],
     "summary": ["isochrones_tpu.summary"],
     "catalog": ["isochrones_tpu.catalog"],
-    "models": ["isochrones_tpu.models", "isochrones_tpu.grids.base"],
+    "models": ["isochrones_tpu.models"],
     "logger": ["isochrones_tpu.logger"],
-    "bc": ["isochrones_tpu.grids.base"],
+    "bc": ["isochrones_tpu.bc"],
     "utils": ["isochrones_tpu.utils"],
     "config": ["isochrones_tpu.config"],
     "query.query": ["isochrones_tpu.query.query"],
