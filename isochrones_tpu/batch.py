@@ -241,6 +241,9 @@ class BatchStarFitter:
         min_ess=100.0,
         seed=None,
         mesh=None,
+        dynamic=False,
+        posterior_frac=0.025,
+        max_dynamic_rounds=8,
     ):
         """Per-star nested sampling for the WHOLE catalog, vmapped across the
         star axis — every chunk of shrinkage iterations is one XLA program
@@ -306,6 +309,8 @@ class BatchStarFitter:
             n_live=n_live, n_batch=n_batch, n_chains=n_chains,
             n_repeat=n_repeat, n_equal=n_equal, dlogz=dlogz, min_ess=min_ess,
             max_iter=max_iter, seed=seed, rng=rng, mesh=mesh, label="star",
+            dynamic=dynamic, posterior_frac=posterior_frac,
+            max_dynamic_rounds=max_dynamic_rounds,
         )
 
         # unit cube -> per-star parameter boxes (NaN no-support rows propagate)
@@ -315,6 +320,7 @@ class BatchStarFitter:
         return dict(
             logz=out["logz"], logzerr=out["logzerr"], ess=out["ess"],
             n_dead=out["n_dead"], converged=out["converged"],
+            dynamic_rounds=out["dynamic_rounds"],
         )
 
     @property

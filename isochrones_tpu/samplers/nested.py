@@ -933,6 +933,9 @@ def run_nested_vmapped(
     rng=None,
     mesh=None,
     label: str = "problem",
+    dynamic: bool = False,
+    posterior_frac: float = 0.025,
+    max_dynamic_rounds: int = 8,
 ):
     """Nested sampling over a whole FAMILY of independent problems, vmapped
     into one XLA program per shrinkage chunk.
@@ -960,11 +963,23 @@ def run_nested_vmapped(
     mesh : optional ``jax.sharding.Mesh`` — shards the problem axis over the
         mesh's first axis; problems are independent, so sharded == unsharded
         exactly (zero collectives).
+    dynamic : dynamic nested sampling over the whole family (see
+        :func:`run_nested`'s ``dynamic``). The base runs stop on the
+        per-problem ``dlogz`` evidence criterion; while any problem's
+        posterior ESS is below ``min_ess``, a ROUND of posterior-focused
+        threads launches — one thread per problem, all advanced in the same
+        lockstep vmapped programs (per-problem activation thresholds at
+        ``1 - posterior_frac`` posterior mass, whitened decorrelation walks,
+        exact varying-live-count merge via :func:`_merge_segments`).
+        Problems already at target ride along (their threads just sharpen
+        the posterior; the merge stays unbiased). ``dynamic=False``
+        (default) preserves the static behavior and RNG stream exactly.
 
     Returns a dict with per-problem arrays: ``logz``, ``logzerr``, ``ess``,
     ``converged`` (bool), ``samples_u`` (M, n_equal, n_params) equal-weight
     posterior draws in the UNIT CUBE (NaN for problems with no posterior
-    support), ``lnl`` (M, n_equal), and the scalar ``n_dead``.
+    support), ``lnl`` (M, n_equal), the scalar ``n_dead``, and
+    ``dynamic_rounds``.
     """
     from functools import partial as _partial
 
@@ -1027,7 +1042,9 @@ def run_nested_vmapped(
         logz_dead, ess_now = running.status(live_now)
         logz_remain = np.max(live_now, axis=1) + ln_x_last
         frac = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain))
-        done = (frac < dlogz) & (ess_now >= min_ess)
+        # dynamic mode hands low-ESS handling to posterior threads instead
+        # of terminal shrinkage — the base runs stop on evidence alone
+        done = (frac < dlogz) if dynamic else (frac < dlogz) & (ess_now >= min_ess)
         if done.all():
             break
 
@@ -1036,6 +1053,123 @@ def run_nested_vmapped(
     live_u_np = np.asarray(live_u)
     live_lnl_np = np.asarray(live_lnl)
 
+    # ---- dynamic posterior threads (Higson-style, whole family in lockstep)
+    merged = None
+    dynamic_rounds = 0
+    if dynamic:
+        segments = []
+        for s in range(M):
+            order_s = np.argsort(live_lnl_np[s])
+            segments.append([dict(
+                dead_lnl=dead_lnl[s], live_lnl=live_lnl_np[s], n_live=n_live,
+                n_batch=n_batch, L0=-np.inf,
+                all_u=np.concatenate([dead_u[s], live_u_np[s][order_s]], axis=0),
+            )])
+        merged = [_merge_segments(segs) for segs in segments]
+
+        @jax.jit
+        def decor_core(data, starts, lnl0, L_lo, w_scale, keys):
+            if mesh is not None:
+                data, starts, lnl0, L_lo, w_scale, keys = _constrain(
+                    (data, starts, lnl0, L_lo, w_scale, keys), mesh
+                )
+
+            def one(data_m, s0, l0, Ll, ws, key):
+                chol = _live_cholesky(s0)
+                return _constrained_walk(
+                    make_lnlike_u(data_m), key, s0, l0, Ll, ws, n_live, 1,
+                    4 * n_repeat, L=chol,
+                )
+
+            out = jax.vmap(one)(data, starts, lnl0, L_lo, w_scale, keys)
+            if mesh is not None:
+                out = _constrain(out, mesh)
+            return out
+
+        while n_dead_total < hard_cap and dynamic_rounds < max_dynamic_rounds:
+            ess_m = np.array([mg[5] for mg in merged])
+            if (ess_m >= min_ess).all():
+                break
+            # per-problem activation threshold + thread starts: the n_live
+            # merged samples just above the likelihood level enclosing
+            # 1 - posterior_frac of that problem's posterior mass
+            starts = np.empty((M, n_live, n_params))
+            starts_lnl = np.empty((M, n_live))
+            L_los = np.empty(M)
+            for s in range(M):
+                all_u_m, all_lnl_m, _, _, probs_m, _, _, _ = merged[s]
+                cum = np.cumsum(probs_m)
+                i_lo = int(np.searchsorted(cum, posterior_frac))
+                i_lo = min(i_lo, max(len(all_lnl_m) - n_live - 1, 0))
+                L_los[s] = all_lnl_m[i_lo]
+                starts[s] = all_u_m[i_lo + 1 : i_lo + 1 + n_live]
+                starts_lnl[s] = all_lnl_m[i_lo + 1 : i_lo + 1 + n_live]
+
+            # decorrelate the copied starts (fresh draws, not double counts);
+            # problems whose chains never accept retry at halved step scale
+            t_live_u = jnp.asarray(starts)
+            t_live_lnl = jnp.asarray(starts_lnl)
+            L_los_j = jnp.asarray(L_los)
+            moved_any = np.zeros((M, n_live), dtype=bool)
+            w_scales = np.asarray(scales).copy()
+            for _ in range(3):
+                split = jax.vmap(jax.random.split)(keys)  # (M, 2, key)
+                keys, walk_keys = split[:, 0], split[:, 1]
+                t_live_u, t_live_lnl, mv, _ = decor_core(
+                    data, t_live_u, t_live_lnl, L_los_j, jnp.asarray(w_scales), walk_keys
+                )
+                moved_any |= np.asarray(mv)
+                if moved_any.all():
+                    break
+                w_scales = np.where(moved_any.all(axis=1), w_scales, w_scales * 0.5)
+            if not moved_any.all():
+                getLogger().warning(
+                    "run_nested_vmapped dynamic round %d: %d thread starts "
+                    "never moved in the decorrelation walk (duplicated "
+                    "samples slightly overweight the merged posterior).",
+                    dynamic_rounds, int((~moved_any).sum()),
+                )
+
+            # thread runs: same vmapped core and shapes; each problem's
+            # thread terminates on its own dlogz (in thread-relative
+            # prior-mass units); finished threads keep shrinking until all
+            # are done — extra deaths are valid NS removals the merge handles
+            t_running = _RunningEvidence(n_live, shape=(M,), n_batch=n_batch)
+            t_dead_u_chunks, t_dead_lnl_chunks = [], []
+            while n_dead_total < hard_cap:
+                n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
+                du, dl, t_live_u, t_live_lnl, keys, scales = batch_core(
+                    data, t_live_u, t_live_lnl, keys, scales, n_steps
+                )
+                t_dead_u_chunks.append(np.asarray(du))
+                t_dead_lnl_chunks.append(np.asarray(dl))
+                n_dead_total += n_steps * n_batch
+                t_running.add(t_dead_lnl_chunks[-1])
+                t_live_now = np.asarray(t_live_lnl)
+                t_z, _ = t_running.status(t_live_now)
+                t_remain = np.max(t_live_now, axis=1) + t_running.ln_x
+                t_frac = np.exp(t_remain - np.logaddexp(t_z, t_remain))
+                if (t_frac < dlogz).all():
+                    break
+
+            t_dead_u = np.concatenate(t_dead_u_chunks, axis=1)
+            t_dead_lnl = np.concatenate(t_dead_lnl_chunks, axis=1)
+            t_live_u_np = np.asarray(t_live_u)
+            t_live_lnl_np = np.asarray(t_live_lnl)
+            for s in range(M):
+                t_order = np.argsort(t_live_lnl_np[s])
+                segments[s].append(dict(
+                    dead_lnl=t_dead_lnl[s], live_lnl=t_live_lnl_np[s],
+                    n_live=n_live, n_batch=n_batch, L0=L_los[s],
+                    all_u=np.concatenate(
+                        [t_dead_u[s], t_live_u_np[s][t_order]], axis=0
+                    ),
+                ))
+            merged = [_merge_segments(segs) for segs in segments]
+            dynamic_rounds += 1
+        if not dynamic_rounds:
+            merged = None  # no threads ran: use the plain assembly path
+
     # ---- per-problem evidence + equal-weight posterior assembly
     logz = np.empty(M)
     logzerr = np.empty(M)
@@ -1043,15 +1177,19 @@ def run_nested_vmapped(
     samples_u = np.empty((M, n_equal, n_params))
     lnl_eq = np.empty((M, n_equal))
     for s in range(M):
-        order, all_lnl, all_logwt, lz, probs, e = _assemble_weights(
-            dead_lnl[s], live_lnl_np[s], n_live, n_batch=n_batch
-        )
-        all_u = np.concatenate([dead_u[s], live_u_np[s][order]], axis=0)
-        finite = np.isfinite(all_logwt)
-        p = np.exp(all_logwt[finite] - lz)
-        h = float(np.sum(p * (all_lnl[finite] - lz)))
+        if merged is not None:
+            all_u, all_lnl, _, lz, probs, e, h, lzerr = merged[s]
+            logzerr[s] = lzerr
+        else:
+            order, all_lnl, all_logwt, lz, probs, e = _assemble_weights(
+                dead_lnl[s], live_lnl_np[s], n_live, n_batch=n_batch
+            )
+            all_u = np.concatenate([dead_u[s], live_u_np[s][order]], axis=0)
+            finite = np.isfinite(all_logwt)
+            p = np.exp(all_logwt[finite] - lz)
+            h = float(np.sum(p * (all_lnl[finite] - lz)))
+            logzerr[s] = np.sqrt(max(h, 0.0) * _logzerr_scale(n_live, n_batch))
         logz[s] = lz
-        logzerr[s] = np.sqrt(max(h, 0.0) * _logzerr_scale(n_live, n_batch))
         ess[s] = e
         if not np.isfinite(lz) or probs.sum() <= 0:
             # problem with zero posterior support everywhere (e.g. data
@@ -1068,15 +1206,21 @@ def run_nested_vmapped(
         samples_u[s] = all_u[idx]
         lnl_eq[s] = all_lnl[idx]
 
-    if not done.all():
+    converged = done & (ess >= min_ess) if dynamic else done
+    if not converged.all():
+        hint = (
+            "raise max_dynamic_rounds or n_live" if dynamic
+            else "raise max_iter or n_live"
+        )
         getLogger().warning(
             "run_nested_vmapped: %d/%d %ss hit the iteration budget before "
             "dlogz+ESS termination; their quantiles/evidences may be "
-            "unreliable (raise max_iter or n_live).",
-            int((~done).sum()), M, label,
+            "unreliable (%s).",
+            int((~converged).sum()), M, label, hint,
         )
 
     return dict(
         logz=logz, logzerr=logzerr, ess=ess, n_dead=n_dead_total,
-        converged=done, samples_u=samples_u, lnl=lnl_eq,
+        converged=converged, samples_u=samples_u, lnl=lnl_eq,
+        dynamic_rounds=dynamic_rounds,
     )
