@@ -429,12 +429,17 @@ def fit_catalog(
         nested sampling — also yields per-star evidences in
         ``fitter.evidence`` for catalog-scale model comparison).
     derived : include derived physical quantiles (mass, radius, Teff, ...)
-        via one batched interpolator dispatch (summary.summarize_batch)."""
+        via one batched interpolator dispatch (summary.summarize_batch).
+    dynamic : (nested only) family-wide dynamic NS — posterior threads lift
+        every star's posterior ESS to target (run_nested_vmapped docs)."""
     derived = kwargs.pop("derived", True)
     mesh = kwargs.pop("mesh", None)
+    dynamic = kwargs.pop("dynamic", False)
     fitter = BatchStarFitter(ic, catalog, **kwargs)
     if method == "nested":
-        fitter.fit_multinest(n_live_points=n_live_points, seed=seed, mesh=mesh)
+        fitter.fit_multinest(
+            n_live_points=n_live_points, seed=seed, mesh=mesh, dynamic=dynamic
+        )
     else:
         fitter.fit_mcmc(nwalkers=nwalkers, nburn=nburn, niter=niter, seed=seed, mesh=mesh)
     from .summary import summarize_batch

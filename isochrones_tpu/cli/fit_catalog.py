@@ -20,6 +20,8 @@ def main(argv=None):
     parser.add_argument("--method", choices=["mcmc", "nested"], default="mcmc",
                         help="'nested' also writes per-star log-evidences")
     parser.add_argument("--n-live-points", type=int, default=500, dest="n_live_points")
+    parser.add_argument("--dynamic", action="store_true",
+                        help="(nested) dynamic NS: posterior threads lift every star's ESS to target")
     parser.add_argument("--nwalkers", type=int, default=128)
     parser.add_argument("--nburn", type=int, default=500)
     parser.add_argument("--niter", type=int, default=100)
@@ -68,6 +70,7 @@ def main(argv=None):
     _, summary = fit_catalog(
         ic, cat, method=args.method, nwalkers=args.nwalkers, nburn=args.nburn,
         niter=args.niter, n_live_points=args.n_live_points, seed=args.seed,
+        dynamic=args.dynamic,
     )
     summary.to_csv(output)
     print(f"{len(cat)} stars fitted; per-star quantiles written to {output}")
