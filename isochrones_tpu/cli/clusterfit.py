@@ -25,6 +25,9 @@ def main(argv=None):
     parser.add_argument("--name", default="")
     parser.add_argument("--halo_fraction", type=float, default=0.5)
     parser.add_argument("--max_iter", type=int, default=None)
+    parser.add_argument("--dynamic", action="store_true",
+                        help="dynamic NS: posterior threads reach the ESS target cheaper")
+    parser.add_argument("--min_ess", type=float, default=None)
     parser.add_argument("--eep-step", type=float, default=1.0,
                         help="EEP-ladder spacing for the marginalization; <1 resolves "
                              "sub-EEP likelihood peaks at few-mmag precision (docs/cluster.md)")
@@ -45,6 +48,7 @@ def main(argv=None):
         maxAV=args.maxAV, minq=args.minq, overwrite=args.overwrite,
         nlive=args.nlive, name=args.name, halo_fraction=args.halo_fraction,
         max_iter=args.max_iter, eep_step=args.eep_step, q_jacobian=args.q_jacobian,
+        dynamic=args.dynamic, min_ess=args.min_ess,
     )
     return 0
 

@@ -620,6 +620,8 @@ def clusterfit(
     max_iter=None,
     eep_step=1.0,
     q_jacobian=False,
+    dynamic=False,
+    min_ess=None,
 ):
     """Cluster-fit driver (reference cluster.py:20-68). The reference
     broadcasts the model over MPI for MultiNest's rank-parallel likelihoods;
@@ -654,5 +656,8 @@ def clusterfit(
             "(eep, q) support (NaN photometry, or no ladder cell inside "
             "the mass box): %s — drop those rows or fix the bounds.", bad,
         )
-    model.fit(overwrite=overwrite, n_live_points=nlive, max_iter=max_iter)
+    fit_kw = dict(overwrite=overwrite, n_live_points=nlive, max_iter=max_iter, dynamic=dynamic)
+    if min_ess is not None:
+        fit_kw["min_ess"] = min_ess
+    model.fit(**fit_kw)
     return model
