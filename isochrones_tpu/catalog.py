@@ -91,6 +91,27 @@ class StarCatalog:
         for p in self.props:
             yield p, self.get_measurement(p, **kwargs)
 
+    def observation_stacks(self):
+        """Observations as dense float stacks — ``(mag_vals, mag_uncs,
+        prop_vals, prop_uncs)`` with shapes (S, n_bands) / (S, n_props)
+        (zero-width prop arrays when no props). The star axis leads so the
+        stacks shard/vmap directly (cluster likelihood, dataset-parametric
+        SBC replicas)."""
+        import numpy as np
+
+        mag_vals = np.stack([v for _, (v, u) in self.iter_bands()], axis=-1)
+        mag_uncs = np.stack([u for _, (v, u) in self.iter_bands()], axis=-1)
+        props = [(np.asarray(v, dtype=float), np.asarray(u, dtype=float))
+                 for _, (v, u) in self.iter_props()]
+        n = mag_vals.shape[0]
+        if props:
+            prop_vals = np.stack([v for v, _ in props], axis=-1)
+            prop_uncs = np.stack([u for _, u in props], axis=-1)
+        else:
+            prop_vals = np.zeros((n, 0))
+            prop_uncs = np.ones((n, 0))
+        return mag_vals, mag_uncs, prop_vals, prop_uncs
+
     # ------------------------------------------------------------------ plots
     @property
     def ds(self):

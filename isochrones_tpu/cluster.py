@@ -301,22 +301,14 @@ class StarClusterModel(BasicStarModel):
             return partial, n_bad
 
         # ---- stack per-star observation arrays (star axis leading for sharding)
-        mag_vals_np = np.stack([v for _, (v, u) in self.stars.iter_bands()], axis=-1)
+        mag_vals_np, mag_uncs_np, prop_vals_np, prop_uncs_np = self.stars.observation_stacks()
         if np.isnan(mag_vals_np).any():
             getLogger().warning(
                 "StarClusterModel: %d stars have NaN photometry; the cluster "
                 "likelihood will be -inf everywhere. Drop those rows.",
                 int(np.isnan(mag_vals_np).any(axis=1).sum()),
             )
-        mag_uncs_np = np.stack([u for _, (v, u) in self.stars.iter_bands()], axis=-1)
-        prop_list = [(p, np.asarray(v), np.asarray(u)) for p, (v, u) in self.stars.iter_props()]
         n_stars = mag_vals_np.shape[0]
-        if prop_list:
-            prop_vals_np = np.stack([v for _, v, _ in prop_list], axis=-1)  # (S, n_props)
-            prop_uncs_np = np.stack([u for _, _, u in prop_list], axis=-1)
-        else:
-            prop_vals_np = np.zeros((n_stars, 0))
-            prop_uncs_np = np.ones((n_stars, 0))
         star_w_np = np.ones(n_stars)
 
         mesh = self.mesh

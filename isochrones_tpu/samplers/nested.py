@@ -305,6 +305,20 @@ def _mesh_constrain_leading(tree, mesh):
     return mesh_constrain_leading(tree, mesh)
 
 
+def _thread_starts(merged, posterior_frac, n_live):
+    """Activation threshold + start snapshot for one dynamic-NS thread
+    round: ``(L_lo, starts_u, starts_lnl)`` — the ``n_live`` merged samples
+    just above the likelihood level enclosing ``1 - posterior_frac`` of the
+    current posterior mass (shared by the single-problem and problem-family
+    dynamic paths)."""
+    all_u_m, all_lnl_m, _, _, probs_m, _, _, _ = merged
+    cum = np.cumsum(probs_m)
+    i_lo = int(np.searchsorted(cum, posterior_frac))
+    i_lo = min(i_lo, max(len(all_lnl_m) - n_live - 1, 0))
+    sl = slice(i_lo + 1, i_lo + 1 + n_live)
+    return float(all_lnl_m[i_lo]), all_u_m[sl], all_lnl_m[sl]
+
+
 def _live_cholesky(live_u, jitter=1e-12):
     """Cholesky factor of the live-point covariance (+ jitter) — whitens walk
     proposals so correlated/ridge-shaped constrained regions (e.g. the
@@ -624,21 +638,14 @@ def run_nested(
                 merged = _merge_segments(segments)
             if merged[5] >= min_ess:
                 break
-            all_u_m, all_lnl_m, _, _, probs_m, _, _, _ = merged
-            # activation threshold: likelihood level below which only
-            # posterior_frac of the current posterior mass lives
-            cum = np.cumsum(probs_m)
-            i_lo = int(np.searchsorted(cum, posterior_frac))
-            i_lo = min(i_lo, max(len(all_lnl_m) - n_live - 1, 0))
-            L_lo = float(all_lnl_m[i_lo])
-            # thread starts: the n_live merged samples just above L_lo (~the
-            # live-set snapshot at that threshold), decorrelated by a
-            # whitened constrained walk so thread deaths are fresh draws.
-            # Chains that never accept would stay exact copies of existing
-            # samples (double-counted by the merge) — retry them at halved
-            # step scale before giving up.
-            starts_u = jnp.asarray(all_u_m[i_lo + 1 : i_lo + 1 + n_live])
-            starts_lnl = jnp.asarray(all_lnl_m[i_lo + 1 : i_lo + 1 + n_live])
+            # thread starts: the live-set snapshot just above the activation
+            # threshold, decorrelated by a whitened constrained walk so
+            # thread deaths are fresh draws. Chains that never accept would
+            # stay exact copies of existing samples (double-counted by the
+            # merge) — retry them at halved step scale before giving up.
+            L_lo, s_u, s_lnl = _thread_starts(merged, posterior_frac, n_live)
+            starts_u = jnp.asarray(s_u)
+            starts_lnl = jnp.asarray(s_lnl)
             chol = _live_cholesky(starts_u)
             t_live_u, t_live_lnl = starts_u, starts_lnl
             moved_any = np.zeros(n_live, dtype=bool)
@@ -1090,20 +1097,14 @@ def run_nested_vmapped(
             ess_m = np.array([mg[5] for mg in merged])
             if (ess_m >= min_ess).all():
                 break
-            # per-problem activation threshold + thread starts: the n_live
-            # merged samples just above the likelihood level enclosing
-            # 1 - posterior_frac of that problem's posterior mass
+            # per-problem activation threshold + thread-start snapshot
             starts = np.empty((M, n_live, n_params))
             starts_lnl = np.empty((M, n_live))
             L_los = np.empty(M)
             for s in range(M):
-                all_u_m, all_lnl_m, _, _, probs_m, _, _, _ = merged[s]
-                cum = np.cumsum(probs_m)
-                i_lo = int(np.searchsorted(cum, posterior_frac))
-                i_lo = min(i_lo, max(len(all_lnl_m) - n_live - 1, 0))
-                L_los[s] = all_lnl_m[i_lo]
-                starts[s] = all_u_m[i_lo + 1 : i_lo + 1 + n_live]
-                starts_lnl[s] = all_lnl_m[i_lo + 1 : i_lo + 1 + n_live]
+                L_los[s], starts[s], starts_lnl[s] = _thread_starts(
+                    merged[s], posterior_frac, n_live
+                )
 
             # decorrelate the copied starts (fresh draws, not double counts);
             # problems whose chains never accept retry at halved step scale
@@ -1178,7 +1179,7 @@ def run_nested_vmapped(
     lnl_eq = np.empty((M, n_equal))
     for s in range(M):
         if merged is not None:
-            all_u, all_lnl, _, lz, probs, e, h, lzerr = merged[s]
+            all_u, all_lnl, _, lz, probs, e, _h, lzerr = merged[s]
             logzerr[s] = lzerr
         else:
             order, all_lnl, all_logwt, lz, probs, e = _assemble_weights(

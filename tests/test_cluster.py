@@ -262,10 +262,7 @@ def test_lnlike_dataset_matches_catalog_lnlike(sim):
     model = StarClusterModel(
         sim.ic, sim, eep_bounds=(1, 95), max_distance=2000, minq=0.2, max_AV=0.2
     )
-    mv = jnp.asarray(np.stack([v for _, (v, u) in sim.iter_bands()], axis=-1))
-    mu = jnp.asarray(np.stack([u for _, (v, u) in sim.iter_bands()], axis=-1))
-    pv = jnp.asarray(np.stack([np.asarray(v) for _, (v, u) in sim.iter_props()], axis=-1))
-    pu = jnp.asarray(np.stack([np.asarray(u) for _, (v, u) in sim.iter_props()], axis=-1))
+    mv, mu, pv, pu = (jnp.asarray(x) for x in sim.observation_stacks())
 
     lnlike_ds = model._build_lnlike_dataset()
     rng = np.random.default_rng(5)

@@ -83,10 +83,8 @@ def test_sbc_cluster_ranks_uniform():
                 max_distance=2000, max_AV=0.3, mass_bounds=MASS,
                 q_jacobian=True,
             )
-        stacks["mv"].append(np.stack([v for _, (v, u) in cat.iter_bands()], axis=-1))
-        stacks["mu"].append(np.stack([u for _, (v, u) in cat.iter_bands()], axis=-1))
-        stacks["pv"].append(np.stack([np.asarray(v) for _, (v, u) in cat.iter_props()], axis=-1))
-        stacks["pu"].append(np.stack([np.asarray(u) for _, (v, u) in cat.iter_props()], axis=-1))
+        for key, arr in zip(("mv", "mu", "pv", "pu"), cat.observation_stacks()):
+            stacks[key].append(arr)
 
     data = tuple(jnp.asarray(np.stack(stacks[k])) for k in ("mv", "mu", "pv", "pu"))
     lnlike_ds = template._build_lnlike_dataset()
