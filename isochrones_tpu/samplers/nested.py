@@ -330,7 +330,12 @@ def _live_cholesky(live_u, jitter=1e-12):
     c = live_u - mu
     cov = (c.T @ c) / live_u.shape[0]
     d = live_u.shape[-1]
-    cov = cov + jitter * jnp.eye(d, dtype=live_u.dtype)
+    # relative ridge (like the ensemble KDE move's): an absolute 1e-12 is
+    # unrepresentable next to O(1e-2) f32 diagonals, so duplicate rows —
+    # e.g. dynamic-NS thread starts whose decorrelation stalled — would
+    # leave cov singular and the factor NaN, killing every later proposal.
+    ridge = jitter + 1e-6 * jnp.maximum(jnp.max(jnp.diagonal(cov)), 0.0)
+    cov = cov + ridge * jnp.eye(d, dtype=live_u.dtype)
     return jnp.linalg.cholesky(cov)
 
 
@@ -649,7 +654,12 @@ def run_nested(
             chol = _live_cholesky(starts_u)
             t_live_u, t_live_lnl = starts_u, starts_lnl
             moved_any = np.zeros(n_live, dtype=bool)
-            w_scale = scale
+            # the core's adapted scale is only a valid whitened-RW step for
+            # the walk core; the slice core (run_polychord) adapts a bracket
+            # width that can sit at 5-20 whitened units — clamp to unit
+            # covariance so decorrelation proposals can ever accept (the
+            # retry loop below still halves from there on stalls)
+            w_scale = jnp.minimum(scale, 1.0)
             for _ in range(3):
                 key, k_walk = jax.random.split(key)
                 t_live_u, t_live_lnl, mv, _ = _decorrelate_walk(
@@ -701,7 +711,11 @@ def run_nested(
             ))
             dynamic_rounds += 1
             merged = _merge_segments(segments)
-        if dynamic_rounds:
+        if merged is not None:
+            # adopt the merged assembly even when zero thread rounds ran:
+            # the loop's convergence gate judged the single-segment merge
+            # ESS, and flagging truncation from the (slightly different)
+            # static-assembly ESS could contradict it
             all_u, all_lnl, all_logwt, logz, probs, ess, h, logzerr = merged
 
     truncated = ess < min_ess
@@ -1022,7 +1036,13 @@ def run_nested_vmapped(
 
     live_u = jnp.asarray(live_u)
     live_lnl = jnp.asarray(live_lnl)
-    keys = jax.random.split(jax.random.PRNGKey(seed if seed is not None else 0), M)
+    # honor rng precedence (docstring contract): with seed=None the device
+    # streams derive from the caller's rng, not a fixed PRNGKey(0) — else
+    # every differently-rng'd campaign would share identical NS exploration
+    keys = jax.random.split(
+        jax.random.PRNGKey(int(seed) if seed is not None else int(rng.integers(2 ** 31))),
+        M,
+    )
     scales = jnp.full((M,), 0.5)
     chunk_steps = max(max(n_live, 256) // n_batch, 8)
     dead_lnl_chunks = []
@@ -1112,7 +1132,9 @@ def run_nested_vmapped(
             t_live_lnl = jnp.asarray(starts_lnl)
             L_los_j = jnp.asarray(L_los)
             moved_any = np.zeros((M, n_live), dtype=bool)
-            w_scales = np.asarray(scales).copy()
+            # clamp to unit whitened covariance (see run_nested's dynamic
+            # block) so oversized adapted scales can't stall decorrelation
+            w_scales = np.minimum(np.asarray(scales), 1.0)
             for _ in range(3):
                 split = jax.vmap(jax.random.split)(keys)  # (M, 2, key)
                 keys, walk_keys = split[:, 0], split[:, 1]
@@ -1168,8 +1190,9 @@ def run_nested_vmapped(
                 ))
             merged = [_merge_segments(segs) for segs in segments]
             dynamic_rounds += 1
-        if not dynamic_rounds:
-            merged = None  # no threads ran: use the plain assembly path
+        # keep the merged assembly even when zero thread rounds ran: the
+        # convergence gate above judged the single-segment merge ESS, so the
+        # reported ess/converged must come from the same assembly
 
     # ---- per-problem evidence + equal-weight posterior assembly
     logz = np.empty(M)

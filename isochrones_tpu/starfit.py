@@ -126,6 +126,7 @@ def starfit(
     ichrone = None
     mod = None
     gaia_data = None
+    native_ini_bands = None
 
     for mult in multiplicities:
         model_filename = f"{models}_starmodel_{mult}.h5"
@@ -151,6 +152,10 @@ def starfit(
                     ini_path = os.path.join(folder, ini_file)
                     if gaia and gaia_data is None:
                         ra, dec = _ini_radec(ini_path)
+                        # bands the ini measured on its own, before any Gaia
+                        # photometry is written into it — only query-added
+                        # bands may be stripped by the fallback below
+                        native_ini_bands = StarModel.get_bands(ini_path)
                         gaia_data = get_gaia_data(ra, dec, radius=gaia_radius)
                         logger.info("Gaia conditioning for %s: %s", folder, gaia_data)
                         if write_ini_file:
@@ -178,8 +183,16 @@ def starfit(
                             if write_ini_file:
                                 # drop the just-written [gaia] photometry too
                                 update_ini_with_gaia(ini_path, gaia_data)
+                            # strip only the bands the QUERY added — an ini
+                            # that natively measured e.g. G keeps it (and if
+                            # the grid truly lacks it, re-raising is right)
+                            native = set(
+                                all_bands if native_ini_bands is None
+                                else (list(bands) if bands else []) + native_ini_bands
+                            )
                             ichrone = get_ichrone(
-                                models, list(set(all_bands) - set(gaia_bands))
+                                models,
+                                list(set(all_bands) - (set(gaia_bands) - native)),
                             )
 
                     if Mod is BasicStarModel or issubclass(Mod, BasicStarModel) and not issubclass(Mod, StarModel):
