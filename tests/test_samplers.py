@@ -462,3 +462,53 @@ def test_merge_segments_inf_safe():
     assert probs[~np.isfinite(all_lnl)].sum() == 0.0
     _, _, _, logz_classic, _, _ = _assemble_weights(dead_lnl, live_lnl, n_live)
     assert abs(logz - logz_classic) < 3.0 / n_live
+
+
+def test_live_cholesky_duplicate_rows_f32():
+    """Regression: the whitening factor must stay finite when the start set
+    contains exact duplicate rows (dynamic-NS thread starts whose
+    decorrelation stalled) — in f32 an absolute 1e-12 jitter is
+    unrepresentable next to O(1e-2) diagonals, leaving cov singular and the
+    Cholesky factor NaN, which permanently kills every later proposal."""
+    from isochrones_tpu.samplers.nested import _live_cholesky
+
+    rng = np.random.default_rng(3)
+    base = rng.random((8, 4)) * 0.1 + 0.45
+    live = np.repeat(base, 4, axis=0)  # 32 rows, each duplicated 4x
+    L = _live_cholesky(jnp.asarray(live, dtype=jnp.float32))
+    assert np.isfinite(np.asarray(L)).all()
+    # fully degenerate set (all rows identical): tiny but finite factor
+    L0 = _live_cholesky(jnp.asarray(np.repeat(base[:1], 16, axis=0),
+                                    dtype=jnp.float32))
+    assert np.isfinite(np.asarray(L0)).all()
+
+
+def test_run_nested_vmapped_rng_precedence():
+    """Regression: with seed=None the device walk streams must derive from
+    the caller's rng (docstring contract) — two campaigns differing only in
+    rng must explore differently, and the same rng seed must reproduce."""
+    from isochrones_tpu.samplers.nested import run_nested_vmapped
+
+    M, n_live, n_params = 2, 32, 2
+    centers = np.array([0.4, 0.6])
+
+    def make_lnlike_u(c):
+        return lambda u: -0.5 * jnp.sum((u - c) ** 2, axis=-1) / 0.1**2
+
+    host = np.random.default_rng(0)
+    u0 = host.random((M, n_live, n_params))
+    lnl0 = np.stack([
+        np.asarray(make_lnlike_u(c)(jnp.asarray(u))) for c, u in zip(centers, u0)
+    ])
+    kw = dict(n_live=n_live, n_batch=4, n_chains=4, n_repeat=4, n_equal=100,
+              dlogz=0.2, min_ess=20.0)
+    data = jnp.asarray(centers)
+
+    outs = [
+        run_nested_vmapped(make_lnlike_u, data, u0, lnl0,
+                           rng=np.random.default_rng(s), **kw)
+        for s in (11, 12, 11)
+    ]
+    assert not np.array_equal(outs[0]["samples_u"], outs[1]["samples_u"])
+    np.testing.assert_array_equal(outs[0]["samples_u"], outs[2]["samples_u"])
+    np.testing.assert_array_equal(outs[0]["logz"], outs[2]["logz"])
