@@ -244,6 +244,8 @@ class BatchStarFitter:
         dynamic=False,
         posterior_frac=0.025,
         max_dynamic_rounds=8,
+        checkpoint=None,
+        resume=False,
     ):
         """Per-star nested sampling for the WHOLE catalog, vmapped across the
         star axis — every chunk of shrinkage iterations is one XLA program
@@ -256,6 +258,12 @@ class BatchStarFitter:
         mesh's first axis (the reference's SLURM-array role over chips,
         scripts/batch_starfit): each device advances its block of stars'
         live sets with zero communication, so sharded == unsharded exactly.
+
+        checkpoint/resume : persist the whole-catalog sampler state to
+        ``checkpoint`` (a path) after every compiled chunk; ``resume=True``
+        restores from it and the completed fit is bitwise-identical to an
+        uninterrupted one (the per-star live-point init is recomputed, then
+        discarded in favor of the restored state).
         """
         from .samplers.nested import run_nested_vmapped
 
@@ -311,6 +319,7 @@ class BatchStarFitter:
             max_iter=max_iter, seed=seed, rng=rng, mesh=mesh, label="star",
             dynamic=dynamic, posterior_frac=posterior_frac,
             max_dynamic_rounds=max_dynamic_rounds,
+            checkpoint=checkpoint, resume=resume,
         )
 
         # unit cube -> per-star parameter boxes (NaN no-support rows propagate)

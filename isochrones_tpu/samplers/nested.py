@@ -284,6 +284,45 @@ class _RunningEvidence:
         return self.log_s1, ess
 
 
+_CKPT_VERSION = 1
+
+
+def _ckpt_save(path, state):
+    """Atomically persist a checkpoint (pickle to tmp + rename, so a kill
+    mid-write can never leave a torn file — the previous checkpoint survives).
+    The payload is plain numpy arrays + ints + the numpy bit-generator state."""
+    import os
+    import pickle
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def _ckpt_load(path, config):
+    """Load + validate a checkpoint written by :func:`_ckpt_save`. The stored
+    sampler configuration must match ``config`` exactly — resuming under a
+    different n_live/n_batch/... would silently corrupt the shrinkage
+    schedule, so mismatches raise."""
+    import pickle
+
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    if state.get("config", {}).get("version") != _CKPT_VERSION:
+        raise ValueError(
+            f"nested-sampling checkpoint {path!r} has version "
+            f"{state.get('config', {}).get('version')!r}, expected {_CKPT_VERSION}"
+        )
+    if state["config"] != config:
+        raise ValueError(
+            f"nested-sampling checkpoint {path!r} was written with a different "
+            f"sampler configuration:\n  stored:   {state['config']}\n"
+            f"  expected: {config}\nRefusing to resume."
+        )
+    return state
+
+
 def _mesh_wrap_lnlike(lnlike_u, mesh):
     """Shard an NS likelihood fan-out's batch axis over ``mesh``'s first axis
     — the role MPI rank-parallel likelihood evaluation plays for MultiNest
@@ -467,6 +506,8 @@ def run_nested(
     dynamic: bool = False,
     posterior_frac: float = 0.025,
     max_dynamic_rounds: int = 8,
+    checkpoint: str = None,
+    resume: bool = False,
 ) -> NestedResult:
     """Nested-sampling fit.
 
@@ -517,6 +558,18 @@ def run_nested(
     posterior_frac : lower cumulative-posterior-mass cut defining each
         thread's activation threshold.
     max_dynamic_rounds : cap on thread rounds (each adds ~n_live-scale ESS).
+    checkpoint : optional path — persist the full sampler state there after
+        every compiled chunk (and after every dynamic thread round), written
+        atomically (tmp + rename). The role MultiNest's ``chains/*`` files
+        play for the reference (starmodel.py:779-797): a preempted fit loses
+        at most one chunk of work.
+    resume : with ``checkpoint`` set, restore from an existing checkpoint
+        file and continue — the completed run is BITWISE-identical to one
+        that was never interrupted (the state includes the device PRNG key,
+        adapted walk scale, running-evidence accumulator, and host RNG
+        state; chunk boundaries are deterministic). A missing file starts
+        fresh; a checkpoint written under a different sampler configuration
+        raises.
     mesh : optional ``jax.sharding.Mesh`` — shards the NS likelihood fan-out
         across devices (the role MPI plays for MultiNest, reference
         starmodel.py:755-797). With ``n_runs > 1`` the independent runs shard
@@ -537,10 +590,22 @@ def run_nested(
             max_iter=max_iter, n_chains=n_chains, n_repeat=n_repeat,
             n_equal=n_equal, dlogz=dlogz, n_batch=n_batch, rng=rng,
             min_ess=min_ess, on_low_ess=on_low_ess, core=core, n_runs=n_runs,
-            mesh=mesh,
+            mesh=mesh, checkpoint=checkpoint, resume=resume,
         )
     hard_cap = max_iter if max_iter is not None else 1000 * n_live
     n_batch = max(1, min(int(n_batch), n_live // 4))
+
+    ckpt_cfg = state = None
+    if checkpoint is not None:
+        import os
+
+        ckpt_cfg = dict(
+            version=_CKPT_VERSION, kind="single", n_params=int(n_params),
+            n_live=int(n_live), n_batch=int(n_batch), n_chains=int(n_chains),
+            n_repeat=int(n_repeat),
+        )
+        if resume and os.path.exists(checkpoint):
+            state = _ckpt_load(checkpoint, ckpt_cfg)
 
     def lnlike_u(u):
         return lnpost_u(prior_transform(u))
@@ -549,44 +614,92 @@ def run_nested(
         lnlike_u = _mesh_wrap_lnlike(lnlike_u, mesh)
 
     rng = np.random.default_rng(rng)
-    key = jax.random.PRNGKey(int(rng.integers(2 ** 31))) if key is None else key
-
-    # initialize live points: uniform draws, resample any -inf starts.
-    # Resample rounds always evaluate a FULL (n_live, n_params) batch — a
-    # variable-size batch would trigger a fresh XLA compile per unique size
-    # (expensive on a remote-TPU tunnel).
-    u0 = np.array(rng.random((n_live, n_params)))
-    lnl0 = np.array(lnlike_u(jnp.asarray(u0)))
-    lnl0 = np.where(np.isnan(lnl0), -np.inf, lnl0)
-    bad = ~np.isfinite(lnl0)
-    tries = 0
-    while bad.any() and tries < 200:
-        u_new = rng.random((n_live, n_params))
-        l_new = np.asarray(lnlike_u(jnp.asarray(u_new)))
-        l_new = np.where(np.isnan(l_new), -np.inf, l_new)
-        good_new = np.isfinite(l_new)
-        n_take = min(int(bad.sum()), int(good_new.sum()))
-        if n_take:
-            bad_idx = np.where(bad)[0][:n_take]
-            good_idx = np.where(good_new)[0][:n_take]
-            u0[bad_idx] = u_new[good_idx]
-            lnl0[bad_idx] = l_new[good_idx]
-        bad = ~np.isfinite(lnl0)
-        tries += 1
 
     # Chunked shrinkage with evidence-based termination: each chunk is one
     # compiled lax.scan (shape-stable -> compiled once); between chunks the
     # host checks whether the remaining live-point mass still matters.
     chunk = max(n_live, 256)
     chunk_steps = max(chunk // n_batch, 8)  # scan steps per compiled chunk
-    live_u_j = jnp.asarray(u0)
-    live_lnl_j = jnp.asarray(lnl0)
-    scale = jnp.asarray(0.5, dtype=live_u_j.dtype)  # whitened-proposal units
-    dead_u_chunks, dead_lnl_chunks = [], []
-    n_dead_total = 0
     core_fn = _nested_core if core is None else core
     running = _RunningEvidence(n_live, n_batch=n_batch)
-    while n_dead_total < hard_cap:
+    if state is not None:
+        # restore the full loop-carried state at a chunk/round boundary —
+        # continuing from here is bitwise-identical to never having stopped
+        dead_u_chunks = [state["dead_u"]]
+        dead_lnl_chunks = [state["dead_lnl"]]
+        live_u_j = jnp.asarray(state["live_u"])
+        live_lnl_j = jnp.asarray(state["live_lnl"])
+        key = jnp.asarray(state["key"])
+        scale = jnp.asarray(state["scale"])
+        n_dead_total = int(state["n_dead_total"])
+        running.n_dead = int(state["running_n_dead"])
+        running.ln_x = float(state["running_ln_x"])
+        running.log_s1 = state["running_log_s1"]
+        running.log_s2 = state["running_log_s2"]
+        rng.bit_generator.state = state["rng_state"]
+    else:
+        key = jax.random.PRNGKey(int(rng.integers(2 ** 31))) if key is None else key
+
+        # initialize live points: uniform draws, resample any -inf starts.
+        # Resample rounds always evaluate a FULL (n_live, n_params) batch — a
+        # variable-size batch would trigger a fresh XLA compile per unique
+        # size (expensive on a remote-TPU tunnel).
+        u0 = np.array(rng.random((n_live, n_params)))
+        lnl0 = np.array(lnlike_u(jnp.asarray(u0)))
+        lnl0 = np.where(np.isnan(lnl0), -np.inf, lnl0)
+        bad = ~np.isfinite(lnl0)
+        tries = 0
+        while bad.any() and tries < 200:
+            u_new = rng.random((n_live, n_params))
+            l_new = np.asarray(lnlike_u(jnp.asarray(u_new)))
+            l_new = np.where(np.isnan(l_new), -np.inf, l_new)
+            good_new = np.isfinite(l_new)
+            n_take = min(int(bad.sum()), int(good_new.sum()))
+            if n_take:
+                bad_idx = np.where(bad)[0][:n_take]
+                good_idx = np.where(good_new)[0][:n_take]
+                u0[bad_idx] = u_new[good_idx]
+                lnl0[bad_idx] = l_new[good_idx]
+            bad = ~np.isfinite(lnl0)
+            tries += 1
+        live_u_j = jnp.asarray(u0)
+        live_lnl_j = jnp.asarray(lnl0)
+        scale = jnp.asarray(0.5, dtype=live_u_j.dtype)  # whitened units
+        dead_u_chunks, dead_lnl_chunks = [], []
+        n_dead_total = 0
+
+    def _terminated():
+        # termination: (a) remaining evidence bound below dlogz AND
+        # (b) posterior ESS at least min_ess (auto-extend past a technically
+        # converged evidence if the weights are still too concentrated).
+        # dynamic mode hands low-ESS handling to posterior threads instead
+        # of terminal shrinkage — the base run stops on evidence alone
+        if running.n_dead == 0:
+            return False
+        live_lnl_now = np.asarray(live_lnl_j)
+        logz_dead, ess_now = running.status(live_lnl_now)
+        logz_remain = float(np.max(live_lnl_now)) + running.ln_x
+        dlogz_met = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain)) < dlogz
+        return bool(dlogz_met and (dynamic or ess_now >= min_ess))
+
+    def _save(phase, thread_segments=None, dynamic_rounds=0):
+        if checkpoint is None:
+            return
+        _ckpt_save(checkpoint, dict(
+            config=ckpt_cfg, phase=phase,
+            dead_u=np.concatenate(dead_u_chunks, axis=0),
+            dead_lnl=np.concatenate(dead_lnl_chunks),
+            live_u=np.asarray(live_u_j), live_lnl=np.asarray(live_lnl_j),
+            key=np.asarray(key), scale=np.asarray(scale),
+            n_dead_total=n_dead_total,
+            running_n_dead=running.n_dead, running_ln_x=running.ln_x,
+            running_log_s1=running.log_s1, running_log_s2=running.log_s2,
+            rng_state=rng.bit_generator.state,
+            thread_segments=thread_segments, dynamic_rounds=dynamic_rounds,
+        ))
+
+    base_done = state is not None and state["phase"] == "dynamic"
+    while not base_done and n_dead_total < hard_cap and not _terminated():
         n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
         du, dl, live_u_j, live_lnl_j, key, scale = core_fn(
             lnlike_u, live_u_j, live_lnl_j, key, scale, n_live, n_steps,
@@ -595,21 +708,8 @@ def run_nested(
         dead_u_chunks.append(np.asarray(du))
         dead_lnl_chunks.append(np.asarray(dl))
         n_dead_total += n_steps * n_batch
-
-        # termination: (a) remaining evidence bound below dlogz AND
-        # (b) posterior ESS at least min_ess (auto-extend past a technically
-        # converged evidence if the weights are still too concentrated)
         running.add(dead_lnl_chunks[-1])
-        live_lnl_now = np.asarray(live_lnl_j)
-        ln_x_last = running.ln_x
-        logz_dead, ess_now = running.status(live_lnl_now)
-        lnl_live_max = float(np.max(live_lnl_now))
-        logz_remain = lnl_live_max + ln_x_last  # upper bound on live mass
-        dlogz_met = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain)) < dlogz
-        # dynamic mode hands low-ESS handling to posterior threads instead of
-        # terminal shrinkage — stop the base run on the evidence criterion
-        if dlogz_met and (dynamic or ess_now >= min_ess):
-            break
+        _save("base")
 
     dead_u = np.concatenate(dead_u_chunks, axis=0)
     dead_lnl = np.concatenate(dead_lnl_chunks)
@@ -637,6 +737,12 @@ def run_nested(
             dead_lnl=dead_lnl, live_lnl=live_lnl, n_live=n_live,
             n_batch=n_batch, L0=-np.inf, all_u=all_u,
         )]
+        if state is not None and state.get("thread_segments"):
+            # resume mid-dynamic: completed thread rounds restore verbatim;
+            # an interrupted round replays from its start (same key) bitwise
+            segments.extend(state["thread_segments"])
+            dynamic_rounds = int(state["dynamic_rounds"])
+            n_iter_total += sum(len(s["dead_lnl"]) for s in state["thread_segments"])
         merged = None
         while n_dead_total < hard_cap and dynamic_rounds < max_dynamic_rounds:
             if merged is None:
@@ -711,6 +817,7 @@ def run_nested(
             ))
             dynamic_rounds += 1
             merged = _merge_segments(segments)
+            _save("dynamic", thread_segments=segments[1:], dynamic_rounds=dynamic_rounds)
         if merged is not None:
             # adopt the merged assembly even when zero thread rounds ran:
             # the loop's convergence gate judged the single-segment merge
@@ -762,7 +869,7 @@ def run_nested(
 def _run_nested_multi(
     lnpost_u, prior_transform, n_params, key, *, n_live, max_iter, n_chains,
     n_repeat, n_equal, dlogz, n_batch, rng, min_ess, on_low_ess, core, n_runs,
-    mesh=None,
+    mesh=None, checkpoint=None, resume=False,
 ):
     """``n_runs`` independent NS runs advanced in lockstep by one vmapped XLA
     program per chunk (see :func:`run_nested`'s ``n_runs`` docs). Each run has
@@ -782,23 +889,37 @@ def _run_nested_multi(
         return np.asarray(out).reshape(R, -1)
 
     rng = np.random.default_rng(rng)
-    key = jax.random.PRNGKey(int(rng.integers(2 ** 31))) if key is None else key
-    keys = jax.random.split(key, R)
 
-    # ---- init live points per run (full-batch resampling of -inf starts)
-    u0 = rng.random((R, n_live, n_params))
-    lnl0 = lnlike_flat(jnp.asarray(u0))
-    lnl0 = np.where(np.isnan(lnl0), -np.inf, lnl0)
-    for _ in range(200):
-        bad = ~np.isfinite(lnl0)
-        if not bad.any():
-            break
-        u_new = rng.random((R, n_live, n_params))
-        l_new = lnlike_flat(jnp.asarray(u_new))
-        l_new = np.where(np.isnan(l_new), -np.inf, l_new)
-        take = bad & np.isfinite(l_new)
-        u0 = np.where(take[..., None], u_new, u0)
-        lnl0 = np.where(take, l_new, lnl0)
+    ckpt_cfg = state = None
+    if checkpoint is not None:
+        import os
+
+        ckpt_cfg = dict(
+            version=_CKPT_VERSION, kind="multi", n_params=int(n_params),
+            n_live=int(n_live), n_batch=int(n_batch), n_chains=int(n_chains),
+            n_repeat=int(n_repeat), n_runs=R,
+        )
+        if resume and os.path.exists(checkpoint):
+            state = _ckpt_load(checkpoint, ckpt_cfg)
+
+    if state is None:
+        key = jax.random.PRNGKey(int(rng.integers(2 ** 31))) if key is None else key
+        keys = jax.random.split(key, R)
+
+        # ---- init live points per run (full-batch resampling of -inf starts)
+        u0 = rng.random((R, n_live, n_params))
+        lnl0 = lnlike_flat(jnp.asarray(u0))
+        lnl0 = np.where(np.isnan(lnl0), -np.inf, lnl0)
+        for _ in range(200):
+            bad = ~np.isfinite(lnl0)
+            if not bad.any():
+                break
+            u_new = rng.random((R, n_live, n_params))
+            l_new = lnlike_flat(jnp.asarray(u_new))
+            l_new = np.where(np.isnan(l_new), -np.inf, l_new)
+            take = bad & np.isfinite(l_new)
+            u0 = np.where(take[..., None], u_new, u0)
+            lnl0 = np.where(take, l_new, lnl0)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def vcore(u, lnl, ks, scales, n_steps):
@@ -821,28 +942,36 @@ def _run_nested_multi(
             out = _mesh_constrain_leading(out, mesh)
         return out
 
-    live_u = jnp.asarray(u0)
-    live_lnl = jnp.asarray(lnl0)
-    scales = jnp.full((R,), 0.5, dtype=live_u.dtype)
-    chunk_steps = max(max(n_live, 256) // n_batch, 8)
-    dead_u_chunks, dead_lnl_chunks = [], []
-    n_dead_total = 0
-    done = np.zeros(R, dtype=bool)
     running = _RunningEvidence(n_live, shape=(R,), n_batch=n_batch)
-    while n_dead_total < hard_cap:
-        n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
-        du, dl, live_u, live_lnl, keys, scales = vcore(
-            live_u, live_lnl, keys, scales, n_steps
-        )
-        dead_u_chunks.append(np.asarray(du))  # (R, n_steps * K, p)
-        dead_lnl_chunks.append(np.asarray(dl))
-        n_dead_total += n_steps * n_batch
+    if state is not None:
+        dead_u_chunks = [state["dead_u"]]
+        dead_lnl_chunks = [state["dead_lnl"]]
+        live_u = jnp.asarray(state["live_u"])
+        live_lnl = jnp.asarray(state["live_lnl"])
+        keys = jnp.asarray(state["key"])
+        scales = jnp.asarray(state["scale"])
+        n_dead_total = int(state["n_dead_total"])
+        running.n_dead = int(state["running_n_dead"])
+        running.ln_x = float(state["running_ln_x"])
+        running.log_s1 = state["running_log_s1"]
+        running.log_s2 = state["running_log_s2"]
+        rng.bit_generator.state = state["rng_state"]
+    else:
+        live_u = jnp.asarray(u0)
+        live_lnl = jnp.asarray(lnl0)
+        scales = jnp.full((R,), 0.5, dtype=live_u.dtype)
+        dead_u_chunks, dead_lnl_chunks = [], []
+        n_dead_total = 0
+    chunk_steps = max(max(n_live, 256) // n_batch, 8)
+    done = np.zeros(R, dtype=bool)
 
-        running.add(dead_lnl_chunks[-1])
+    def _terminated():
+        nonlocal done
+        if running.n_dead == 0:
+            return False
         live_now = np.asarray(live_lnl)
-        ln_x_last = running.ln_x
         logz_dead, ess_now = running.status(live_now)  # (R,), (R,)
-        logz_remain = np.max(live_now, axis=1) + ln_x_last
+        logz_remain = np.max(live_now, axis=1) + running.ln_x
         frac = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain))
         # the ESS gate is the POOLED Z-weighted mixture ESS (same formula as
         # the final report): a per-run min_ess/R threshold would let the loop
@@ -852,8 +981,32 @@ def _run_nested_multi(
         ) else np.full(R, 1.0 / R)
         pooled_ess = 1.0 / np.sum(zw ** 2 / np.maximum(ess_now, 1e-12))
         done = frac < dlogz
-        if done.all() and pooled_ess >= min_ess:
-            break
+        return bool(done.all() and pooled_ess >= min_ess)
+
+    while n_dead_total < hard_cap and not _terminated():
+        n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
+        du, dl, live_u, live_lnl, keys, scales = vcore(
+            live_u, live_lnl, keys, scales, n_steps
+        )
+        dead_u_chunks.append(np.asarray(du))  # (R, n_steps * K, p)
+        dead_lnl_chunks.append(np.asarray(dl))
+        n_dead_total += n_steps * n_batch
+        running.add(dead_lnl_chunks[-1])
+        if checkpoint is not None:
+            _ckpt_save(checkpoint, dict(
+                config=ckpt_cfg, phase="base",
+                dead_u=np.concatenate(dead_u_chunks, axis=1),
+                dead_lnl=np.concatenate(dead_lnl_chunks, axis=1),
+                live_u=np.asarray(live_u), live_lnl=np.asarray(live_lnl),
+                key=np.asarray(keys), scale=np.asarray(scales),
+                n_dead_total=n_dead_total,
+                running_n_dead=running.n_dead, running_ln_x=running.ln_x,
+                running_log_s1=running.log_s1, running_log_s2=running.log_s2,
+                rng_state=rng.bit_generator.state,
+            ))
+    # a hard-cap exit skips the loop-condition check — recompute `done` so
+    # the truncation report reflects the final state (idempotent otherwise)
+    _terminated()
 
     dead_u = np.concatenate(dead_u_chunks, axis=1)
     dead_lnl = np.concatenate(dead_lnl_chunks, axis=1)
@@ -957,6 +1110,8 @@ def run_nested_vmapped(
     dynamic: bool = False,
     posterior_frac: float = 0.025,
     max_dynamic_rounds: int = 8,
+    checkpoint: str = None,
+    resume: bool = False,
 ):
     """Nested sampling over a whole FAMILY of independent problems, vmapped
     into one XLA program per shrinkage chunk.
@@ -978,9 +1133,10 @@ def run_nested_vmapped(
         points in the unit cube with their (finite) ln-likelihoods — draw
         from the prior and rejection-resample -inf rows before calling
         (see ``BatchStarFitter.fit_multinest`` for the pattern).
-    rng : optional ``np.random.Generator`` for the equal-weight resampling
-        (takes precedence over ``seed``; lets a caller keep one stream
-        across init + run).
+    rng : optional ``np.random.Generator`` driving both the device walk
+        streams and the equal-weight resampling (takes precedence over
+        ``seed``, which is ignored when ``rng`` is given; lets a caller
+        keep one stream across init + run).
     mesh : optional ``jax.sharding.Mesh`` — shards the problem axis over the
         mesh's first axis; problems are independent, so sharded == unsharded
         exactly (zero collectives).
@@ -1011,6 +1167,7 @@ def run_nested_vmapped(
         raise ValueError(f"live_u has {n_live_in} live points, expected n_live={n_live}")
     n_batch = max(1, min(int(n_batch), n_live // 4))
     hard_cap = max_iter if max_iter is not None else 1000 * n_live
+    rng_given = rng is not None
     rng = np.random.default_rng(seed) if rng is None else rng
 
     if mesh is not None:
@@ -1034,24 +1191,87 @@ def run_nested_vmapped(
             out = _constrain(out, mesh)
         return out
 
-    live_u = jnp.asarray(live_u)
-    live_lnl = jnp.asarray(live_lnl)
-    # honor rng precedence (docstring contract): with seed=None the device
-    # streams derive from the caller's rng, not a fixed PRNGKey(0) — else
-    # every differently-rng'd campaign would share identical NS exploration
-    keys = jax.random.split(
-        jax.random.PRNGKey(int(seed) if seed is not None else int(rng.integers(2 ** 31))),
-        M,
-    )
-    scales = jnp.full((M,), 0.5)
+    ckpt_cfg = state = None
+    if checkpoint is not None:
+        import os
+
+        ckpt_cfg = dict(
+            version=_CKPT_VERSION, kind="vmapped", n_params=int(n_params),
+            n_live=int(n_live), n_batch=int(n_batch), n_chains=int(n_chains),
+            n_repeat=int(n_repeat), n_problems=int(M),
+        )
+        if resume and os.path.exists(checkpoint):
+            state = _ckpt_load(checkpoint, ckpt_cfg)
+
     chunk_steps = max(max(n_live, 256) // n_batch, 8)
-    dead_lnl_chunks = []
-    dead_u_chunks = []
-    n_dead_total = 0
+    running = _RunningEvidence(n_live, shape=(M,), n_batch=n_batch)
+    if state is not None:
+        dead_u_chunks = [state["dead_u"]]
+        dead_lnl_chunks = [state["dead_lnl"]]
+        live_u = jnp.asarray(state["live_u"])
+        live_lnl = jnp.asarray(state["live_lnl"])
+        keys = jnp.asarray(state["key"])
+        scales = jnp.asarray(state["scale"])
+        n_dead_total = int(state["n_dead_total"])
+        running.n_dead = int(state["running_n_dead"])
+        running.ln_x = float(state["running_ln_x"])
+        running.log_s1 = state["running_log_s1"]
+        running.log_s2 = state["running_log_s2"]
+        rng.bit_generator.state = state["rng_state"]
+    else:
+        live_u = jnp.asarray(live_u)
+        live_lnl = jnp.asarray(live_lnl)
+        # honor rng precedence (docstring contract): whenever the caller
+        # passes an rng it drives BOTH the device walk streams and the
+        # equal-weight resampling (a seed passed alongside it is ignored
+        # here); seed alone pins the device key directly; with neither,
+        # streams are fresh-random
+        keys = jax.random.split(
+            jax.random.PRNGKey(
+                int(rng.integers(2 ** 31)) if (rng_given or seed is None) else int(seed)
+            ),
+            M,
+        )
+        scales = jnp.full((M,), 0.5)
+        dead_lnl_chunks = []
+        dead_u_chunks = []
+        n_dead_total = 0
     done = np.zeros(M, dtype=bool)
 
-    running = _RunningEvidence(n_live, shape=(M,), n_batch=n_batch)
-    while n_dead_total < hard_cap:
+    def _base_terminated():
+        # incremental dead-only evidence + ESS (O(chunk) per check; the
+        # dlogz ratio uses the dead-only evidence rather than
+        # double-counting the live bound). dynamic mode hands low-ESS
+        # handling to posterior threads instead of terminal shrinkage —
+        # the base runs stop on evidence alone
+        nonlocal done
+        if running.n_dead == 0:
+            return False
+        live_now = np.asarray(live_lnl)
+        logz_dead, ess_now = running.status(live_now)
+        logz_remain = np.max(live_now, axis=1) + running.ln_x
+        frac = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain))
+        done = (frac < dlogz) if dynamic else (frac < dlogz) & (ess_now >= min_ess)
+        return bool(done.all())
+
+    def _save(phase, thread_segments=None, dyn_rounds=0):
+        if checkpoint is None:
+            return
+        _ckpt_save(checkpoint, dict(
+            config=ckpt_cfg, phase=phase,
+            dead_u=np.concatenate(dead_u_chunks, axis=1),
+            dead_lnl=np.concatenate(dead_lnl_chunks, axis=1),
+            live_u=np.asarray(live_u), live_lnl=np.asarray(live_lnl),
+            key=np.asarray(keys), scale=np.asarray(scales),
+            n_dead_total=n_dead_total,
+            running_n_dead=running.n_dead, running_ln_x=running.ln_x,
+            running_log_s1=running.log_s1, running_log_s2=running.log_s2,
+            rng_state=rng.bit_generator.state,
+            thread_segments=thread_segments, dynamic_rounds=dyn_rounds,
+        ))
+
+    base_done = state is not None and state["phase"] == "dynamic"
+    while not base_done and n_dead_total < hard_cap and not _base_terminated():
         n_steps = min(chunk_steps, max((hard_cap - n_dead_total) // n_batch, 1))
         du, dl, live_u, live_lnl, keys, scales = batch_core(
             data, live_u, live_lnl, keys, scales, n_steps
@@ -1059,21 +1279,11 @@ def run_nested_vmapped(
         dead_u_chunks.append(np.asarray(du))  # (M, n_steps * K, n_params)
         dead_lnl_chunks.append(np.asarray(dl))
         n_dead_total += n_steps * n_batch
-
-        # incremental dead-only evidence + ESS (O(chunk) per check; the
-        # dlogz ratio uses the dead-only evidence rather than
-        # double-counting the live bound)
         running.add(dead_lnl_chunks[-1])
-        live_now = np.asarray(live_lnl)
-        ln_x_last = running.ln_x
-        logz_dead, ess_now = running.status(live_now)
-        logz_remain = np.max(live_now, axis=1) + ln_x_last
-        frac = np.exp(logz_remain - np.logaddexp(logz_dead, logz_remain))
-        # dynamic mode hands low-ESS handling to posterior threads instead
-        # of terminal shrinkage — the base runs stop on evidence alone
-        done = (frac < dlogz) if dynamic else (frac < dlogz) & (ess_now >= min_ess)
-        if done.all():
-            break
+        _save("base")
+    # a hard-cap or dynamic-restore exit skips the loop-condition check —
+    # recompute `done` for the final convergence report (idempotent)
+    _base_terminated()
 
     dead_u = np.concatenate(dead_u_chunks, axis=1)
     dead_lnl = np.concatenate(dead_lnl_chunks, axis=1)
@@ -1092,6 +1302,12 @@ def run_nested_vmapped(
                 n_batch=n_batch, L0=-np.inf,
                 all_u=np.concatenate([dead_u[s], live_u_np[s][order_s]], axis=0),
             )])
+        if state is not None and state.get("thread_segments"):
+            # resume mid-dynamic: completed rounds restore verbatim; an
+            # interrupted round replays from its start (same keys) bitwise
+            for s in range(M):
+                segments[s].extend(state["thread_segments"][s])
+            dynamic_rounds = int(state["dynamic_rounds"])
         merged = [_merge_segments(segs) for segs in segments]
 
         @jax.jit
@@ -1190,6 +1406,8 @@ def run_nested_vmapped(
                 ))
             merged = [_merge_segments(segs) for segs in segments]
             dynamic_rounds += 1
+            _save("dynamic", thread_segments=[segs[1:] for segs in segments],
+                  dyn_rounds=dynamic_rounds)
         # keep the merged assembly even when zero thread rounds ran: the
         # convergence gate above judged the single-segment merge ESS, so the
         # reported ess/converged must come from the same assembly

@@ -633,8 +633,26 @@ class BasicStarModel:
         Also accepts ``dynamic=True`` (+ ``min_ess=``) for dynamic nested
         sampling: posterior-focused thread runs that reach a posterior-ESS
         target in ~50x fewer likelihood calls than static extension
-        (docs/samplers.md)."""
+        (docs/samplers.md).
+
+        Checkpoint/resume (the role MultiNest's ``chains/*`` files play in
+        the reference, starmodel.py:779-797): ``checkpoint=True`` persists
+        the sampler state after every compiled chunk under
+        ``<basename or mnest_basename>checkpoint.pkl``; ``checkpoint=<path>``
+        uses that path. ``resume=True`` restores from it (implies
+        checkpointing) — the completed fit is bitwise-identical to one that
+        was never interrupted."""
         from .samplers.nested import run_nested
+
+        ckpt = kwargs.pop("checkpoint", None)
+        if kwargs.get("resume") and ckpt is None:
+            ckpt = True
+        if ckpt is True:
+            base = basename if basename is not None else self.mnest_basename
+            os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
+            ckpt = f"{base}checkpoint.pkl"
+        if ckpt is not None:
+            kwargs["checkpoint"] = ckpt
 
         if jax.default_backend() == "tpu":
             # fatten the per-step likelihood fan-out by default: 64 live
