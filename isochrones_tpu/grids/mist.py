@@ -599,10 +599,18 @@ class MISTEvolutionTrackGrid(MISTModelGrid):
             p0 = eep_fn_p0(ages, eeps, order=order)
         m = eeps < 808
         if plot_fit:
-            pfit, _ = curve_fit(
-                partial(eep_fn, order=order), ages[m], eeps[m], p0,
-                jac=partial(eep_jac, order=order),
-            )
+            import warnings
+
+            from scipy.optimize import OptimizeWarning
+
+            with warnings.catch_warnings():
+                # diagnostic overlay only; the covariance (discarded below)
+                # is often singular on short synthetic tracks
+                warnings.simplefilter("ignore", OptimizeWarning)
+                pfit, _ = curve_fit(
+                    partial(eep_fn, order=order), ages[m], eeps[m], p0,
+                    jac=partial(eep_jac, order=order),
+                )
             ax.plot(ages, eep_fn(ages, *pfit, order=order), "-", color="C2", label="fit")
         if plot_p0:
             ax.plot(ages, eep_fn(ages, *p0, order=order), "--", color="C3", label="p0")

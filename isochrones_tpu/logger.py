@@ -25,6 +25,7 @@ def initLogging(filename, logger=None):
     for h in list(logger.handlers):
         if isinstance(h, logging.FileHandler):
             logger.removeHandler(h)
+            h.close()  # release the previous folder's starfit.log handle
     fh = logging.FileHandler(filename)
     fh.setFormatter(logging.Formatter("%(asctime)s - %(levelname)s - %(message)s"))
     logger.addHandler(fh)

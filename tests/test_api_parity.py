@@ -75,7 +75,8 @@ def _public_names(path):
     with warnings.catch_warnings():
         # the reference has a few pre-3.12 invalid escape sequences
         warnings.simplefilter("ignore", SyntaxWarning)
-        tree = ast.parse(open(path).read())
+        with open(path) as fh:
+            tree = ast.parse(fh.read())
     out = []
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
@@ -138,7 +139,8 @@ def test_package_level_exports_match():
     """Everything importable as ``from isochrones import X`` at the package
     top level works as ``from isochrones_tpu import X`` too."""
     init = os.path.join(REFERENCE_ROOT, "__init__.py")
-    tree = ast.parse(open(init).read())
+    with open(init) as fh:
+        tree = ast.parse(fh.read())
     wanted = set()
     for node in ast.walk(tree):
         if isinstance(node, ast.ImportFrom) and node.module and node.level:
@@ -181,7 +183,8 @@ def test_every_reference_class_member_resolves():
             mods = [importlib.import_module(t) for t in targets]
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore", SyntaxWarning)
-                tree = ast.parse(open(os.path.join(root, f)).read())
+                with open(os.path.join(root, f)) as fh:
+                    tree = ast.parse(fh.read())
             for node in tree.body:
                 if not isinstance(node, ast.ClassDef) or node.name.startswith("_"):
                     continue
@@ -225,7 +228,8 @@ ALLOWED_MISSING_FLAGS = {
 def _argparse_flags(path):
     import re
 
-    txt = open(path).read()
+    with open(path) as fh:
+        txt = fh.read()
     out = set()
     for m in re.finditer(r"add_argument\(([^)]*)\)", txt, re.S):
         for s in re.findall(r"""["']([^"']+)["']""", m.group(1)):

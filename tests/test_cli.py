@@ -95,7 +95,8 @@ def test_batch_starfit_script(tmp_path):
     with open(listfile, "w") as f:
         f.write("star1\nstar2\nstar3\n")
     script = batch_starfit_script(listfile, ntasks_per_node=2, minutes_per_fit=5)
-    text = open(script).read()
+    with open(script) as fh:
+        text = fh.read()
     assert "#SBATCH" in text
     assert "xargs starfit" in text
 
@@ -133,7 +134,8 @@ def test_gaia_data_and_ini_update(star_folder, monkeypatch):
     c = parse_ini(ini_path)
     assert parse_value(c["parallax"]) == [4.0, 0.1]
     assert parse_value(c["gaia"]["G"])[0] == 12.0
-    text = open(ini_path).read()
+    with open(ini_path) as fh:
+        text = fh.read()
     assert text.count("parallax") == 1
     assert text.count("\n\n\n") == 0  # no blank-line churn across rewrites
     # the [gaia] photometry participates in band discovery
@@ -142,7 +144,8 @@ def test_gaia_data_and_ini_update(star_folder, monkeypatch):
     assert parse_value(c["twomass"]["J"]) == [6.80, 0.02]
     # parallax-only data removes a previously written [gaia] section
     update_ini_with_gaia(ini_path, {"parallax": data["parallax"]})
-    assert "[gaia]" not in open(ini_path).read()
+    with open(ini_path) as fh:
+        assert "[gaia]" not in fh.read()
 
 
 @pytest.mark.slow
@@ -161,7 +164,8 @@ def test_starfit_gaia_cli(star_folder, monkeypatch):
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(star_folder, "synthetic_starmodel_single.h5"))
-    ini = open(os.path.join(star_folder, "star.ini")).read()
+    with open(os.path.join(star_folder, "star.ini")) as fh:
+        ini = fh.read()
     assert "parallax = 4.0, 0.1" in ini
     assert "[gaia]" in ini and "G = 12.0" in ini
 
@@ -182,7 +186,8 @@ def test_summarize_results_txt(star_folder):
     ])
     assert rc == 0
     rf = os.path.join(star_folder, "synthetic_single_results.txt")
-    header, vals = open(rf).read().splitlines()
+    with open(rf) as fh:
+        header, vals = fh.read().splitlines()
     assert header.split()[:3] == ["mass", "mass_lo", "mass_hi"]
     nums = [float(x) for x in vals.split()]
     assert len(nums) == 24
@@ -216,6 +221,7 @@ def test_starfit_gaia_fallback_parallax_only(star_folder, monkeypatch):
     assert rc == 0
     # the fit must have actually happened (starfit swallows per-folder errors)
     assert os.path.exists(os.path.join(star_folder, "synthetic_starmodel_single.h5"))
-    ini = open(os.path.join(star_folder, "star.ini")).read()
+    with open(os.path.join(star_folder, "star.ini")) as fh:
+        ini = fh.read()
     assert "parallax = 4.0, 0.1" in ini
     assert "[gaia]" not in ini  # photometry dropped in the fallback

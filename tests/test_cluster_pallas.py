@@ -52,7 +52,8 @@ def _xla_ref(kw):
         kw["mag_values"], kw["mag_uncs"], kw["alpha"], kw["gamma"], kw["fB"],
         kw["mass_lo"], kw["mass_hi"], kw["q_lo"], valid=kw["valid"],
     )
-    return np.log(np.asarray(integrate_over_eeps(grid, kw["eeps"])))
+    with np.errstate(divide="ignore"):  # log(0) -> -inf is the intended result
+        return np.log(np.asarray(integrate_over_eeps(grid, kw["eeps"])))
 
 
 def test_trapezoid_weights_identity():

@@ -47,7 +47,7 @@ def test_against_scipy_3d():
             rng.uniform(xx[2][0], xx[2][-1]),
         ]
         vals = interp(pt)
-        expect = np.array([float(s(pt)) for s in scipy_interps])
+        expect = np.array([s(pt).item() for s in scipy_interps])
         np.testing.assert_allclose(vals, expect, rtol=1e-11, atol=1e-13)
 
 

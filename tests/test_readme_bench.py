@@ -16,7 +16,8 @@ def test_readme_bench_table_matches_json():
     sys.path.insert(0, REPO)
     import bench
 
-    text = open(os.path.join(REPO, "README.md")).read()
+    with open(os.path.join(REPO, "README.md")) as fh:
+        text = fh.read()
     m = re.search(
         re.escape(bench.README_START) + r"(.*?)" + re.escape(bench.README_END),
         text,
