@@ -64,11 +64,12 @@ def get_AV_infinity(ra, dec, frame="icrs"):
     from urllib.request import urlopen
 
     AV = None
-    for line in urlopen(url).readlines():
-        m = re.search(rb"^Landolt V \(0.54\)\s+(\d+\.\d+)", line)
-        if m:
-            AV = float(m.group(1))
-            break
+    with urlopen(url) as resp:
+        for line in resp.readlines():
+            m = re.search(rb"^Landolt V \(0.54\)\s+(\d+\.\d+)", line)
+            if m:
+                AV = float(m.group(1))
+                break
     if AV is None:
         raise RuntimeError(f"AV query fails! URL is {url}")
     return AV

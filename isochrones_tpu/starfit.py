@@ -41,7 +41,8 @@ def get_gaia_data(ra, dec, radius=5.0, brightest=False):
 def update_ini_with_gaia(ini_path, data):
     """Write Gaia-derived observables into ``star.ini``: top-level parallax
     (replacing any existing one) plus a ``[gaia]`` photometry section."""
-    lines = open(ini_path).read().splitlines()
+    with open(ini_path) as fh:
+        lines = fh.read().splitlines()
     out, in_gaia, seen_section = [], False, False
     for ln in lines:
         s = ln.strip()
@@ -311,7 +312,8 @@ def batch_starfit_script(listfile, nsplit=None, ntasks_per_node=20, minutes_per_
     (reference scripts/batch_starfit). Returns the script path; submission is
     left to the caller (``sbatch <script>``)."""
     listfile = os.path.abspath(listfile)
-    num_lines = sum(1 for _ in open(listfile))
+    with open(listfile) as lf:
+        num_lines = sum(1 for _ in lf)
     nsplit = num_lines if nsplit is None else nsplit
 
     n_nodes = int(np.ceil(nsplit / ntasks_per_node))

@@ -134,6 +134,12 @@ def test_extinction_url_formatting(monkeypatch):
         def readlines(self):
             return [b"Landolt V (0.54)             0.123  mag\n"]
 
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
     def fake_urlopen(url):
         captured["url"] = url
         return FakeResponse()
