@@ -574,6 +574,16 @@ class Bench:
             times.append(time.perf_counter() - t0)
         dt = times[-1]  # warm run (see bench_mcmc_fit)
         assert np.isfinite(df["lnprob"]).any()
+        # a frozen sampler (step size at the dtype resolution floor — the
+        # f32 failure mode diagnosed in round 4) returns finite lnprob on
+        # init-cloud points; assert the chains actually moved
+        res = model._nuts_result
+        eps_floor = 100.0 * np.finfo(np.float32).eps
+        assert np.all(res.step_size > eps_floor), (
+            f"NUTS chains frozen: step sizes {res.step_size}"
+        )
+        for p in model.param_names:
+            assert df[p].std() > 0, f"degenerate NUTS posterior in {p}"
         return {
             "metric": f"end-to-end binary-star NUTS fit ({n_chains}c x {n_warmup}+{n_samples}, warm)",
             "value": round(dt, 2),

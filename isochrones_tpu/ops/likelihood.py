@@ -95,8 +95,20 @@ def star_lnlike(
     for k, model_val in enumerate((Teff, logg, feh)):
         val = spec_vals[k]
         unc = spec_uncs[k]
-        term = gauss_lnprob(val, unc, model_val)
-        lnlike = lnlike + jnp.where(jnp.isnan(val), jnp.zeros_like(term), term)
+        # double-where (NaN-safe gradient): a missing observable is encoded
+        # as val = NaN, and `where(isnan(val), 0, gauss_lnprob(NaN, ...))`
+        # masks only the FORWARD value — reverse-mode still multiplies the
+        # (zero) cotangent into d(term)/d(model_val) = NaN, poisoning the
+        # gradient of every parameter the interpolated model_val depends
+        # on. (Round-4 diagnosis: this single NaN made the whole lnpost
+        # gradient NaN whenever any spectroscopic channel was absent, so
+        # _safe_value_and_grad zeroed the force and NUTS ran ballistic.)
+        # Substitute a finite dummy INSIDE the term before masking.
+        missing = jnp.isnan(val) | jnp.isnan(unc)
+        safe_val = jnp.where(missing, model_val, val)
+        safe_unc = jnp.where(missing, jnp.ones_like(unc), unc)
+        term = gauss_lnprob(safe_val, safe_unc, model_val)
+        lnlike = lnlike + jnp.where(missing, jnp.zeros_like(term), term)
 
     if len(band_icols):
         mag_terms = gauss_lnprob(mag_vals, mag_uncs, mags)

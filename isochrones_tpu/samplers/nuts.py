@@ -221,8 +221,8 @@ def _make_kernel(logp, dim, max_depth):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("logp_batch", "dim", "n_warmup", "n_samples", "max_depth", "target_accept", "mesh"))
-def _nuts_run(logp_batch, x0, key, dim, n_warmup, n_samples, max_depth, target_accept, inv_mass0=None, mesh=None):
+@partial(jax.jit, static_argnames=("logp_batch", "dim", "n_warmup", "n_samples", "max_depth", "target_accept", "mesh", "eps_jitter"))
+def _nuts_run(logp_batch, x0, key, dim, n_warmup, n_samples, max_depth, target_accept, inv_mass0=None, mesh=None, eps_jitter=1.0):
     n_chains = x0.shape[0]
 
     def logp_single(z):
@@ -247,6 +247,16 @@ def _nuts_run(logp_batch, x0, key, dim, n_warmup, n_samples, max_depth, target_a
 
     # --- warmup: dual averaging + Stan-style doubling mass windows ---
     gamma, t0, kappa = 0.05, 10.0, 0.75
+    # dual-averaging floor (round-4 f32 diagnosis): in reduced precision the
+    # accept statistic has a rounding-noise component, so alpha(eps) can sit
+    # just below target_accept for EVERY eps below some band — dual
+    # averaging then has no fixed point and walks log_eps down until
+    # position updates quantize to zero against |z| ~ O(1) (a false
+    # equilibrium at eps ~ 3e-7 in f32 where chains freeze but alpha looks
+    # healthy). Clamp the step size three decades above the dtype's machine
+    # epsilon: in f64 the floor (~2e-13) never engages; in f32 it keeps the
+    # integrator in the regime where increments remain representable.
+    log_eps_min = jnp.log(1e3 * jnp.finfo(x0.dtype).eps).astype(x0.dtype)
 
     def warm_phase(key, z, lnp, g, log_eps0, inv_mass, length, collect):
         """One adaptation phase: dual averaging (restarted) + optional
@@ -261,7 +271,7 @@ def _nuts_run(logp_batch, x0, key, dim, n_warmup, n_samples, max_depth, target_a
             m = i + 1.0
             eta = 1.0 / (m + t0)
             h_bar = (1 - eta) * h_bar + eta * (target_accept - alpha)
-            log_eps = mu - jnp.sqrt(m) / gamma * h_bar
+            log_eps = jnp.maximum(mu - jnp.sqrt(m) / gamma * h_bar, log_eps_min)
             w = m ** (-kappa)
             log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
             count, mean, m2 = welford
@@ -312,7 +322,19 @@ def _nuts_run(logp_batch, x0, key, dim, n_warmup, n_samples, max_depth, target_a
         key, z, lnp, g, acc_sum, div_sum = carry
         key, k = jax.random.split(key)
         keys = jax.random.split(k, n_chains)
-        z, lnp, g, alpha, div = kernel_v(keys, z, lnp, g, eps, inv_mass)
+        eps_t = eps
+        if eps_jitter > 1.0:
+            # per-transition log-uniform step-size jitter in
+            # [eps/jitter, eps*jitter] (Neal 2011 §3.2): a single adapted
+            # step size cannot match both the posterior bulk and a
+            # boundary-compressed logit tail whose local scale differs;
+            # jitter lets a fraction of transitions take the small steps
+            # the stretched tail needs. Applied to SAMPLING transitions
+            # only so dual averaging still adapts the unjittered center.
+            key, k_j = jax.random.split(key)
+            u = jax.random.uniform(k_j, (n_chains,), dtype=x0.dtype, minval=-1.0, maxval=1.0)
+            eps_t = eps * eps_jitter ** u
+        z, lnp, g, alpha, div = kernel_v(keys, z, lnp, g, eps_t, inv_mass)
         return (key, z, lnp, g, acc_sum + alpha, div_sum + div), (z, lnp)
 
     (key, z, lnp, g, acc_sum, div_sum), (chain, lnp_chain) = jax.lax.scan(
@@ -335,6 +357,7 @@ def run_nuts(
     n_chains: int = None,
     bounds=None,
     mesh=None,
+    eps_jitter: float = 1.0,
 ) -> NutsResult:
     """Multi-chain NUTS.
 
@@ -356,6 +379,13 @@ def run_nuts(
     mesh : optional ``jax.sharding.Mesh`` — shards the chain axis across
         devices (each chip advances its block of independent chains; only
         the pooled warmup variance crosses the mesh).
+    eps_jitter : per-transition log-uniform step-size jitter factor applied
+        during sampling (1.0 = off): each transition draws its step size
+        from [eps/eps_jitter, eps*eps_jitter] (Neal 2011 §3.2). Optional
+        robustness knob when the local posterior scale varies strongly;
+        not needed for the star-model fits (the round-4 A_V-tail artifact
+        turned out to be a NaN-gradient bug, not a step-size pathology —
+        docs/samplers.md, "The NUTS A_V-tail artifact, resolved").
     """
     x0 = jnp.asarray(x0)
     to_z = logjac = None
@@ -407,12 +437,36 @@ def run_nuts(
         # dense Stan metric — and the diagonal adaptation inside then only
         # has to fix residual errors. Chains start at the highest-
         # probability walkers (concentrates on the dominant mode).
+        #
+        # ROBUST estimation (round-4 diagnosis): after a finite burn from
+        # prior-wide starts the cloud still carries stuck walkers — logit-
+        # saturated points at |y| ~ 20 and rejection-stranded points at
+        # catastrophically low lnp (measured: min -61049 vs median -36 on
+        # the parity fixture) — which overestimate the posterior scale by
+        # 1e2-1e4 per axis. Whitening by that inflated covariance makes
+        # the whitened posterior needle-thin: gradients are huge, an
+        # eps ~ 0.3 trajectory diverges outright (measured alpha = 0), and
+        # in f32 the adapted step collapses to the rounding edge where
+        # POSITION updates quantize to zero while momentum updates don't —
+        # a false dual-averaging equilibrium at eps ~ 3e-7 (alpha ~ 0.89)
+        # that freezes every chain and silently returns the init cloud.
+        # Estimate (mu, cov) from the POSTERIOR-BULK walkers instead: the
+        # typical set sits within O(dim) of the best lnp, so keep walkers
+        # with lnp >= max - max(2*dim, 10). Host-side numpy f64: runs
+        # once, variable row count.
         dim = x0.shape[-1]
-        mu = jnp.mean(cloud, axis=0)
-        c = cloud - mu
-        cov = (c.T @ c) / cloud.shape[0]
-        cov = cov + (1e-10 * jnp.trace(cov) / dim + 1e-30) * jnp.eye(dim, dtype=cov.dtype)
-        W = jnp.linalg.cholesky(cov)
+        cloud_np = np.asarray(cloud, dtype=np.float64)
+        lnp_np = np.asarray(state.ln_prob, dtype=np.float64)
+        finite = np.isfinite(lnp_np)
+        bulk = finite & (lnp_np >= lnp_np[finite].max() - max(2.0 * dim, 10.0))
+        if bulk.sum() > dim + 2:
+            cloud_np = cloud_np[bulk]
+        mu_np = cloud_np.mean(axis=0)
+        c_np = cloud_np - mu_np
+        cov_np = (c_np.T @ c_np) / cloud_np.shape[0]
+        cov_np += (1e-10 * np.trace(cov_np) / dim + 1e-30) * np.eye(dim)
+        mu = jnp.asarray(mu_np, dtype=x0.dtype)
+        W = jnp.asarray(np.linalg.cholesky(cov_np), dtype=x0.dtype)
         order = jnp.argsort(-state.ln_prob)
         x0 = cloud[order[:n_chains]]
 
@@ -435,8 +489,26 @@ def run_nuts(
     chain, lnp_chain, eps, inv_mass, acc, ndiv = _nuts_run(
         logp_run, x0_run, key, x0.shape[-1], int(n_warmup), int(n_samples),
         int(max_depth), float(target_accept), inv_mass0=inv_mass_run,
-        mesh=mesh,
+        mesh=mesh, eps_jitter=float(eps_jitter),
     )
+    # frozen-sampler guard: if dual averaging drove the step size down to
+    # the floating-point resolution of the (O(1)-scaled) run coordinates,
+    # position updates round to zero and the "chains" are the init points —
+    # the failure mode a badly-scaled metric produces in f32. Warn loudly;
+    # quantiles from such a run are meaningless.
+    eps_floor = 100.0 * float(jnp.finfo(x0_run.dtype).eps)
+    n_frozen = int(np.sum(np.asarray(eps) < eps_floor))
+    if n_frozen:
+        from ..logger import getLogger
+
+        getLogger().warning(
+            "NUTS: %d/%d chains adapted a step size below the %s resolution "
+            "floor (%.1e) — those chains are frozen (positions cannot move) "
+            "and their samples are init-cloud points, not posterior draws. "
+            "Check the metric scaling / parameter bounds.",
+            n_frozen, eps.shape[0], str(x0_run.dtype), eps_floor,
+        )
+
     if W is not None:
         chain = mu[None, None, :] + jnp.einsum("scd,ed->sce", chain, W)
     if to_z is not None:

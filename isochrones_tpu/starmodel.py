@@ -451,8 +451,19 @@ class BasicStarModel:
 
             ll = jnp.zeros(pars.shape[:-1], dtype=pars.dtype)
             for k, model_val in enumerate((Teff, logg, feh)):
-                term = gauss_lnprob(spec_vals[k], spec_uncs[k], model_val)
-                ll = ll + jnp.where(jnp.isnan(spec_vals[k]), jnp.zeros_like(term), term)
+                # double-where (NaN-safe gradient) — same trap as
+                # ops/likelihood.py::star_lnlike: a missing channel is
+                # val = NaN, and masking only the forward value still lets
+                # reverse-mode multiply the zero cotangent into the NaN
+                # d(term)/d(model_val), poisoning the gradient of every
+                # parameter the interp depends on (this fused lnpost is the
+                # one NUTS differentiates). Substitute a finite dummy
+                # INSIDE the term before masking.
+                missing = jnp.isnan(spec_vals[k]) | jnp.isnan(spec_uncs[k])
+                safe_val = jnp.where(missing, model_val, spec_vals[k])
+                safe_unc = jnp.where(missing, jnp.ones_like(spec_uncs[k]), spec_uncs[k])
+                term = gauss_lnprob(safe_val, safe_unc, model_val)
+                ll = ll + jnp.where(missing, jnp.zeros_like(term), term)
             if len(band_icols):
                 ll = ll + jnp.sum(gauss_lnprob(mag_vals, mag_uncs, mags), axis=-1)
             if has_parallax:
@@ -702,20 +713,26 @@ class BasicStarModel:
         n_warmup=500,
         n_samples=500,
         max_depth=8,
-        target_accept=0.9,
+        target_accept=0.8,
         seed=None,
         mesh=None,
+        eps_jitter=1.0,
     ):
         """On-device No-U-Turn sampling of the posterior (the SURVEY §7
         build-plan NUTS stage). The fused lnpost is differentiable (grid
         interpolation is piecewise-multilinear), so gradients come free from
         autodiff. Sampling runs in a logit-reparametrized unbounded space
         (box bounds -> sigmoid + log-Jacobian) with a dense whitened metric
-        from an ensemble warm start. target_accept defaults HIGHER (0.9)
-        than Stan's 0.8: gridded posteriors are piecewise-linear, and the
-        leapfrog energy error at cell-boundary gradient kinks needs smaller
-        steps for unbiased tails (measured against a long-MCMC gold
-        standard; see tests/test_sampler_parity.py)."""
+        from an ensemble warm start. target_accept defaults to Stan's 0.8,
+        NOT higher: on gridded posteriors the accept statistic plateaus
+        around ~0.85 independent of step size (grid-validity -inf cliffs —
+        e.g. past the end-of-track EEP boundary — reject a fixed fraction
+        of trajectories no matter how small eps gets), so a target above
+        the plateau has no dual-averaging fixed point and the step size
+        collapses to the dtype floor (measured, docs/samplers.md "The NUTS
+        A_V-tail artifact, resolved"). At 0.8 all five parameters match
+        nested sampling at the shared 0.35-sigma parity bar
+        (tests/test_sampler_parity.py)."""
         from .samplers.nuts import run_nuts
 
         n_cloud = max(64, 8 * self.n_params, 2 * n_chains)
@@ -727,7 +744,7 @@ class BasicStarModel:
             n_warmup=n_warmup, n_samples=n_samples, max_depth=max_depth,
             target_accept=target_accept, ensemble_init=500, n_chains=n_chains,
             bounds=np.stack([np.asarray(los, dtype=float), np.asarray(his, dtype=float)], axis=-1),
-            mesh=mesh,
+            mesh=mesh, eps_jitter=eps_jitter,
         )
         import pandas as pd
 

@@ -117,32 +117,29 @@ def _assert_quantile_parity(fits, param_names, ref="nested", tol=TOL_SIGMA):
 
 def test_single_star_cross_engine_quantiles(single_fits):
     m, fits = single_fits
-    _assert_quantile_parity({k: v for k, v in fits.items() if k != "nuts"}, m.param_names)
-    # NUTS gets a looser bar, now PINNED by the round-3 experiment
-    # (docs/samplers.md "The NUTS A_V-tail artifact, pinned"): NUTS retains
-    # a stable ~0.6-0.8 sigma tightening of the A_V tails (plus sympathetic
-    # feh-tail narrowing) ONLY when the posterior mass piles against the
-    # A_V >= 0 bound. target_accept=0.98 leaves it unchanged (0.85 vs 0.82
-    # sigma — refuting the earlier leapfrog-energy-error hypothesis), while
-    # moving the bounds away (truth A_V=1.5 in (0,3)) restores the shared
-    # 0.35-sigma bar (asserted by test_nuts_bound_moved below). Cause:
-    # fixed-metric under-exploration of the boundary-compressed tail in
-    # logit space — a funnel-like geometry a warmup-estimated dense metric
-    # cannot match in both bulk and tail, step-size independent. Wrong-
-    # posterior bugs still show up at multiple sigma, which 0.9 catches.
-    # (The nested result itself is validated against a long-MCMC gold
-    # standard: 512 walkers x 5000 burn agree to <0.1 sigma.)
-    _assert_quantile_parity(
-        {k: fits[k] for k in ("nested", "nuts")}, m.param_names, tol=0.9
-    )
+    # ALL engines — NUTS included — meet the shared 0.35-sigma bar. The
+    # round-3 NUTS carve-out (0.9 sigma, "A_V-tail artifact") is GONE:
+    # round 4 traced it to a NaN lnpost gradient (the JAX where-grad trap
+    # on missing spectroscopic channels in star_lnlike / the fused lnpost)
+    # that silently zeroed the force, so NUTS had been running ballistic
+    # trajectories all along. With real gradients and target_accept=0.8
+    # (below the ~0.85 accept plateau set by grid-validity cliffs), the
+    # measured deltas on this fixture are <= 0.13 sigma on every parameter
+    # including the at-bound A_V tails (docs/samplers.md "The NUTS A_V-tail
+    # artifact, resolved"). (The nested result itself is validated against
+    # a long-MCMC gold standard: 512 walkers x 5000 burn agree to <0.1
+    # sigma.)
+    _assert_quantile_parity(fits, m.param_names)
 
 
 def test_nuts_bound_moved_matches_shared_tolerance(iso):
-    """Pinning control for the A_V-tail carve-out: same model geometry with
-    the A_V posterior mass moved AWAY from the prior bound (truth 1.5 in a
-    flat (0,3) prior) — the A_V and feh tails must then meet the SHARED
-    0.35-sigma bar, proving the 0.9-sigma carve-out is bound-local, not a
-    general NUTS posterior error."""
+    """Bound-moved control (kept from the round-3 artifact investigation):
+    same model geometry with the A_V posterior mass moved AWAY from the
+    prior bound (truth 1.5 in a flat (0,3) prior). After the round-4
+    NaN-gradient fix every parameter meets the SHARED 0.35-sigma bar here
+    too (measured deltas <= 0.09 sigma), so together with the at-bound
+    fixture this asserts NUTS parity on both sides of the boundary
+    geometry."""
     from isochrones_tpu.priors import FlatPrior
 
     truth = [60.0, 9.0, 0.0, 200.0, 1.5]
@@ -153,17 +150,8 @@ def test_nuts_bound_moved_matches_shared_tolerance(iso):
     ns = m.samples.copy()
     m.fit_nuts(n_chains=16, n_warmup=1500, n_samples=3000, seed=22)
     nuts = m.samples.copy()
-    # the artifact parameters: feh meets the shared 0.35 bar outright
-    # (0.66 -> 0.03-0.09 sigma when the bound moves); A_V's 16% quantile
-    # halves from 0.82 to a measured 0.41 sigma — held to 0.45, which still
-    # separates cleanly from the at-bound value. Remaining params at 0.6:
-    # NUTS chain autocorrelation along the piecewise-linear eep-age ridge
-    # leaves ~0.5 sigma quantile wobble at this budget (measured 0.38-0.51),
-    # unrelated to bounds.
-    _assert_quantile_parity({"nested": ns, "nuts": nuts}, ("feh",), tol=TOL_SIGMA)
-    _assert_quantile_parity({"nested": ns, "nuts": nuts}, ("AV",), tol=0.45)
     _assert_quantile_parity(
-        {"nested": ns, "nuts": nuts}, ("eep", "age", "distance"), tol=0.6
+        {"nested": ns, "nuts": nuts}, m.param_names, tol=TOL_SIGMA
     )
 
 
