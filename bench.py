@@ -827,7 +827,8 @@ def _suite_rows(data):
             row = json.loads(text[j:end])
             if "suite" in row:  # the outer headline object
                 return row["suite"]
-            rows.append(row)
+            if "suite_rows" not in row:  # skip the compact final headline
+                rows.append(row)
         except json.JSONDecodeError:
             pass
         i = end
@@ -950,8 +951,9 @@ def main():
         "error": headline.get("error"),
     }
     out["metric"] = f"{out['metric']} ({b.platform}, MIST-scale grids)"
-    out["suite"] = b.results
-    line = json.dumps(out)
+    full = dict(out)
+    full["suite"] = b.results
+    full_line = json.dumps(full)
     # full untruncated record for README regeneration (the driver's
     # BENCH_r*.json keeps only a stdout tail)
     if b.on_tpu:
@@ -959,8 +961,14 @@ def main():
 
         local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
         with open(local, "w") as f:
-            f.write(line + "\n")
-    print(line)
+            f.write(full_line + "\n")
+    # suite on its own line first (tail-recoverable row objects), then the
+    # compact headline LAST so the driver's bounded stdout tail always holds
+    # one complete parseable JSON line (round-3 record had parsed:null
+    # because headline+suite outgrew the tail buffer)
+    print(full_line)
+    out["suite_rows"] = len(b.results)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
