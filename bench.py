@@ -73,10 +73,23 @@ class Bench:
         self.results = []
 
     def run(self, name, fn):
+        import sys
+
+        t0 = time.perf_counter()
         try:
             self.results.append(fn())
         except Exception:
             self.results.append({"metric": name, "error": traceback.format_exc(limit=3)})
+        # stderr progress marker (stdout carries only the JSON contract):
+        # lets the driver's log show where a long suite is, and which row
+        # a timeout killed
+        row = self.results[-1]
+        status = "ERROR" if "error" in row else f"{row.get('value')} {row.get('unit', '')}"
+        print(
+            f"[bench {len(self.results)}] {name}: {status} "
+            f"({time.perf_counter() - t0:.0f}s)",
+            file=sys.stderr, flush=True,
+        )
 
     # ------------------------------------------------- 1. headline: binary lnpost
     def bench_binary_lnpost(self):

@@ -26,6 +26,12 @@ def build_parser():
     parser.add_argument("--max_iter", type=int, default=None)
     parser.add_argument("--dynamic", action="store_true",
                         help="dynamic nested sampling: posterior-focused threads to reach --min_ess cheaply (docs/samplers.md)")
+    parser.add_argument("--resume", action="store_true",
+                        help="checkpoint the nested-sampling state each compiled chunk "
+                             "(under the model's chains basename) and resume from an "
+                             "existing checkpoint — the role MultiNest's chains/* resume "
+                             "plays in the reference; the completed fit is bitwise-identical "
+                             "to an uninterrupted one")
     parser.add_argument("--min_ess", type=float, default=None,
                         help="posterior effective-sample-size target for the nested fit")
     parser.add_argument("--seed", type=int, default=None)
@@ -51,7 +57,8 @@ def build_parser():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     if args.platform:
         import jax
 
@@ -94,6 +101,11 @@ def main(argv=None):
         fit_kwargs["dynamic"] = True
     if args.min_ess is not None:
         fit_kwargs["min_ess"] = args.min_ess
+    if args.resume:
+        if args.emcee:
+            parser.error("--resume applies to the nested-sampling path (drop --emcee; "
+                         "the MCMC path resumes via fit.McmcBackend instead)")
+        fit_kwargs["resume"] = True
 
     for i, folder in enumerate(folders):
         print(f"{i + 1} of {len(folders)}: {folder}")

@@ -37,6 +37,36 @@ def test_starfit_cli(star_folder):
     assert os.path.getmtime(os.path.join(star_folder, "synthetic_starmodel_single.h5")) == mtime
 
 
+@pytest.mark.slow
+def test_starfit_cli_resume(star_folder):
+    """--resume writes the NS checkpoint under the model's chains basename
+    (the reference's MultiNest chains/* resume role) and a second --resume
+    run completes from it."""
+    from isochrones_tpu.cli.starfit import main
+
+    args = [
+        star_folder, "--models", "synthetic", "--n_live_points", "60",
+        "--max_iter", "400", "--seed", "1", "--no_plots", "--resume",
+    ]
+    rc = main(args)
+    assert rc == 0
+    chains = os.path.join(star_folder, "chains")
+    ckpts = [f for f in os.listdir(chains) if f.endswith("checkpoint.pkl")]
+    assert len(ckpts) == 1
+    # a rerun with --overwrite resumes from the (terminal) checkpoint and
+    # still produces a model file
+    rc = main(args + ["--overwrite"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(star_folder, "synthetic_starmodel_single.h5"))
+
+
+def test_starfit_cli_resume_rejects_emcee(star_folder):
+    from isochrones_tpu.cli.starfit import main
+
+    with pytest.raises(SystemExit):
+        main([star_folder, "--models", "synthetic", "--no_plots", "--resume", "--emcee"])
+
+
 def test_select_and_summarize_cli(star_folder, tmp_path, capsys):
     from isochrones_tpu.cli.select import main as select_main
     from isochrones_tpu.cli.starfit import main as starfit_main
