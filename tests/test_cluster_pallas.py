@@ -86,6 +86,44 @@ def test_pallas_parity_randomized(seed, S, E, B):
     assert np.array_equal(np.isfinite(got), m)
 
 
+@pytest.mark.parametrize("tile_k", [16, 32, 48])
+def test_pallas_parity_k_tiled(tile_k):
+    """k-axis tiling (the bounded-VMEM path the real 1710-EEP ladder takes
+    on chip) must stream the same logsumexp: tile widths that divide E
+    unevenly, straddle the mask, and force >=3 k-tiles all agree with the
+    XLA grid path."""
+    kw = _fixture(4, S=6, E=70, B=3)
+    ref = _xla_ref(kw)
+    got = np.asarray(
+        cluster_lnmarginal_pallas(**kw, interpret=True, tile_j=16, tile_k=tile_k)
+    )
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-8)
+    assert np.array_equal(np.isfinite(got), m)
+
+
+def test_pallas_auto_tile_k_splits_real_ladder():
+    """The auto budget must split k at the real MIST ladder (1710 -> two
+    896-wide tiles under the measured ~100 B/cell scope) and keep the
+    known-good 800-EEP configuration on a single tile."""
+    from isochrones_tpu.ops.cluster_pallas import _VMEM_CELL_BUDGET, _round_up
+
+    def plan(E, TJ=128):
+        tk_max = max(128, (_VMEM_CELL_BUDGET // TJ) // 128 * 128)
+        nkb = -(-_round_up(E, 128) // tk_max)
+        TK = _round_up(-(-_round_up(E, 128) // nkb), 128)
+        return nkb, TK
+
+    assert plan(1710) == (2, 896)
+    assert plan(800) == (1, 896)
+    assert plan(50) == (1, 128)
+    # scoped cells stay under budget for any ladder up to 4x real MIST
+    for E in (50, 800, 1710, 3000, 6840):
+        nkb, TK = plan(E)
+        assert 128 * TK <= max(_VMEM_CELL_BUDGET, 128 * 128)
+        assert TK * nkb >= E
+
+
 def test_pallas_parity_inf_lnprop_and_all_invalid_star():
     """-inf / nan property likelihoods and a star with no valid support
     must not poison neighbors; the dead star's marginal is -inf."""

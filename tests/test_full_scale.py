@@ -83,19 +83,25 @@ def test_real_dims_pipeline_cpu():
 )
 def test_real_dims_pipeline_on_chip():
     """Same pipeline compiled on the real chip, f32, pallas marginal at the
-    full 1710-EEP ladder, with peak-HBM headroom asserted (v5e: 16 GB)."""
+    full 1710-EEP ladder AT THE BENCH CONFIGURATION (50 stars, walker batch
+    16 — VERDICT r4 ask #2), with peak-HBM headroom asserted when the
+    backend reports it (v5e: 16 GB)."""
     iso = _real_scale_iso(np.float32)
-    model = _full_ladder_cluster(iso)
+    model = _full_ladder_cluster(iso, n_stars=50)
     p = jnp.asarray(
         np.asarray([9.0, 0.0, 300.0, 0.05, -2.0, 0.3, 0.3])[None, :]
-        + np.random.default_rng(0).normal(0, 0.01, (8, 7)),
+        + np.random.default_rng(0).normal(0, 0.01, (16, 7)),
         dtype=jnp.float32,
     )
     out = np.asarray(model.lnpost_batch(p))
     assert np.isfinite(out).all()
 
     stats = jax.local_devices()[0].memory_stats()
-    peak_gb = stats["peak_bytes_in_use"] / 2 ** 30
-    # leave >25% headroom on a 16 GB v5e so real-data runs with BC grids
-    # resident cannot OOM
-    assert peak_gb < 12.0, f"peak HBM {peak_gb:.2f} GB leaves too little headroom"
+    if stats is not None:
+        peak_gb = stats["peak_bytes_in_use"] / 2 ** 30
+        # leave >25% headroom on a 16 GB v5e so real-data runs with BC
+        # grids resident cannot OOM
+        assert peak_gb < 12.0, f"peak HBM {peak_gb:.2f} GB leaves too little headroom"
+    # else: the tunneled axon backend reports no memory stats — the
+    # compile+execute above is still the load-bearing assertion (r4's
+    # failure mode was a scoped-VMEM COMPILE error, not HBM)
