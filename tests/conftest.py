@@ -37,3 +37,34 @@ enable_compile_cache()
 
 if not TPU_TIER:
     assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """On a PASSING on-chip tier run, stamp repo-root .tpu_tier_stamp.json
+    (UTC time + HEAD). bench.py folds the stamp into its driver-parsed
+    headline, so the driver record proves the tier ran for the shipped
+    commit (VERDICT r4 ask #3: two consecutive rounds shipped a red tier
+    with no evidence either way)."""
+    if not (TPU_TIER and jax.default_backend() == "tpu" and exitstatus == 0):
+        return
+    if session.testscollected == 0:
+        return
+    import datetime
+    import json
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=root,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = "unknown"
+    stamp = {
+        "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+        "head": head,
+        "n_tests": session.testscollected,
+    }
+    with open(os.path.join(root, ".tpu_tier_stamp.json"), "w") as f:
+        json.dump(stamp, f)
