@@ -107,10 +107,12 @@ def main(argv=None):
                          "the MCMC path resumes via fit.McmcBackend instead)")
         fit_kwargs["resume"] = True
 
+    failures = []
     for i, folder in enumerate(folders):
         print(f"{i + 1} of {len(folders)}: {folder}")
         mod, logger = starfit(
             folder,
+            failures=failures,
             multiplicities=multiplicities,
             models=args.models,
             use_emcee=args.emcee,
@@ -129,6 +131,13 @@ def main(argv=None):
             **fit_kwargs,
         )
         del mod
+    if failures:
+        # per-folder failures are logged-and-continued (reference
+        # starfit.py:155-159) but must not report shell-level success —
+        # batch/preemption-recovery workflows key off the exit code
+        print(f"{len(failures)} fit(s) failed: "
+              + ", ".join(f"{f} [{m}]" for f, m in failures), file=sys.stderr)
+        return 1
     return 0
 
 

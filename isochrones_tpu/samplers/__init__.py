@@ -5,11 +5,12 @@ MultiNest -> run_nested (adaptive-walk NS), PolyChord -> run_polychord
 run_nested), and a from-scratch NUTS -> run_nuts."""
 
 from .ensemble import EnsembleState, autocorr_time, run_ensemble, run_ensemble_batch
-from .nested import NestedResult, run_nested
+from .nested import CheckpointConfigError, NestedResult, run_nested
 from .nuts import NutsResult, run_nuts
 from .polychord import run_polychord
 
 __all__ = [
     "EnsembleState", "run_ensemble", "run_ensemble_batch", "autocorr_time",
-    "NestedResult", "run_nested", "NutsResult", "run_nuts", "run_polychord",
+    "CheckpointConfigError", "NestedResult", "run_nested", "NutsResult",
+    "run_nuts", "run_polychord",
 ]

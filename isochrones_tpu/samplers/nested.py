@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["NestedResult", "run_nested", "run_nested_vmapped"]
+__all__ = ["CheckpointConfigError", "NestedResult", "run_nested", "run_nested_vmapped"]
 
 
 class NestedResult(NamedTuple):
@@ -287,6 +287,13 @@ class _RunningEvidence:
 _CKPT_VERSION = 1
 
 
+class CheckpointConfigError(ValueError):
+    """A resume checkpoint was written under a different sampler config or
+    for a different problem (data/bounds/seed hash mismatch). Operator
+    error, not a transient fit failure — drivers re-raise it instead of
+    swallowing it into per-folder logs (ADVICE r4)."""
+
+
 def _ckpt_save(path, state):
     """Atomically persist a checkpoint (pickle to tmp + rename, so a kill
     mid-write can never leave a torn file — the previous checkpoint survives).
@@ -310,12 +317,12 @@ def _ckpt_load(path, config):
     with open(path, "rb") as f:
         state = pickle.load(f)
     if state.get("config", {}).get("version") != _CKPT_VERSION:
-        raise ValueError(
+        raise CheckpointConfigError(
             f"nested-sampling checkpoint {path!r} has version "
             f"{state.get('config', {}).get('version')!r}, expected {_CKPT_VERSION}"
         )
     if state["config"] != config:
-        raise ValueError(
+        raise CheckpointConfigError(
             f"nested-sampling checkpoint {path!r} was written with a different "
             f"sampler configuration:\n  stored:   {state['config']}\n"
             f"  expected: {config}\nRefusing to resume."
@@ -508,6 +515,7 @@ def run_nested(
     max_dynamic_rounds: int = 8,
     checkpoint: str = None,
     resume: bool = False,
+    config_tag: str = None,
 ) -> NestedResult:
     """Nested-sampling fit.
 
@@ -570,6 +578,10 @@ def run_nested(
         state; chunk boundaries are deterministic). A missing file starts
         fresh; a checkpoint written under a different sampler configuration
         raises.
+    config_tag : optional opaque string folded into the checkpoint config —
+        callers hash the PROBLEM (observed data, bounds, seed) into it so a
+        checkpoint written for a different problem refuses to resume instead
+        of silently replaying a stale posterior (ADVICE r4).
     mesh : optional ``jax.sharding.Mesh`` — shards the NS likelihood fan-out
         across devices (the role MPI plays for MultiNest, reference
         starmodel.py:755-797). With ``n_runs > 1`` the independent runs shard
@@ -591,6 +603,7 @@ def run_nested(
             n_equal=n_equal, dlogz=dlogz, n_batch=n_batch, rng=rng,
             min_ess=min_ess, on_low_ess=on_low_ess, core=core, n_runs=n_runs,
             mesh=mesh, checkpoint=checkpoint, resume=resume,
+            config_tag=config_tag,
         )
     hard_cap = max_iter if max_iter is not None else 1000 * n_live
     n_batch = max(1, min(int(n_batch), n_live // 4))
@@ -603,6 +616,7 @@ def run_nested(
             version=_CKPT_VERSION, kind="single", n_params=int(n_params),
             n_live=int(n_live), n_batch=int(n_batch), n_chains=int(n_chains),
             n_repeat=int(n_repeat),
+            config_tag=None if config_tag is None else str(config_tag),
         )
         if resume and os.path.exists(checkpoint):
             state = _ckpt_load(checkpoint, ckpt_cfg)
@@ -869,7 +883,7 @@ def run_nested(
 def _run_nested_multi(
     lnpost_u, prior_transform, n_params, key, *, n_live, max_iter, n_chains,
     n_repeat, n_equal, dlogz, n_batch, rng, min_ess, on_low_ess, core, n_runs,
-    mesh=None, checkpoint=None, resume=False,
+    mesh=None, checkpoint=None, resume=False, config_tag=None,
 ):
     """``n_runs`` independent NS runs advanced in lockstep by one vmapped XLA
     program per chunk (see :func:`run_nested`'s ``n_runs`` docs). Each run has
@@ -898,6 +912,7 @@ def _run_nested_multi(
             version=_CKPT_VERSION, kind="multi", n_params=int(n_params),
             n_live=int(n_live), n_batch=int(n_batch), n_chains=int(n_chains),
             n_repeat=int(n_repeat), n_runs=R,
+            config_tag=None if config_tag is None else str(config_tag),
         )
         if resume and os.path.exists(checkpoint):
             state = _ckpt_load(checkpoint, ckpt_cfg)
@@ -1112,6 +1127,7 @@ def run_nested_vmapped(
     max_dynamic_rounds: int = 8,
     checkpoint: str = None,
     resume: bool = False,
+    config_tag: str = None,
 ):
     """Nested sampling over a whole FAMILY of independent problems, vmapped
     into one XLA program per shrinkage chunk.
@@ -1199,6 +1215,7 @@ def run_nested_vmapped(
             version=_CKPT_VERSION, kind="vmapped", n_params=int(n_params),
             n_live=int(n_live), n_batch=int(n_batch), n_chains=int(n_chains),
             n_repeat=int(n_repeat), n_problems=int(M),
+            config_tag=None if config_tag is None else str(config_tag),
         )
         if resume and os.path.exists(checkpoint):
             state = _ckpt_load(checkpoint, ckpt_cfg)

@@ -129,6 +129,7 @@ def starfit(
     write_ini_file=False,
     rootdir=None,
     gaia_radius=5.0,
+    failures=None,
     **kwargs,
 ):
     """Run the starfit routine for a folder (reference starfit.py:18-161).
@@ -140,6 +141,12 @@ def starfit(
     write_ini_file : with ``gaia``, persist the queried values into the ini
         (required for the tree-model path to pick up Gaia photometry).
     rootdir : resolve ``folder`` relative to this directory.
+    failures : optional list — each failed (folder, multiplicity) fit is
+        appended (after being logged) so batch drivers can exit nonzero
+        instead of reporting silent success (ADVICE r4). Checkpoint
+        config-mismatch errors (operator error: --resume against a
+        checkpoint for different data/settings) are RE-raised, never
+        swallowed into the log.
     """
     from .priors import FlatPrior
     from .starmodel import BasicStarModel
@@ -301,8 +308,17 @@ def starfit(
         except KeyboardInterrupt:
             logger.error("%s starfit interrupted for %s.", mult, folder)
             raise
-        except Exception:
+        except Exception as e:
             logger.error("%s starfit failed for %s.", mult, folder, exc_info=True)
+            if failures is not None:
+                failures.append((folder, mult))
+            from .samplers.nested import CheckpointConfigError
+
+            if isinstance(e, CheckpointConfigError):
+                # operator error (--resume against a checkpoint written for
+                # different data/settings), not a transient fit failure —
+                # surfacing it beats a silently-lost star in a batch run
+                raise
 
     return mod, logger
 

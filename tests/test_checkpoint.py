@@ -91,6 +91,65 @@ def test_config_mismatch_raises(tmp_path):
         )
 
 
+def test_config_tag_mismatch_raises(tmp_path):
+    """A checkpoint written for a different PROBLEM (config_tag: observed
+    data / bounds / seed hash) refuses to resume (ADVICE r4: without it, a
+    user who edits star.ini and reruns --resume silently replays the old
+    posterior)."""
+    from isochrones_tpu.samplers.nested import CheckpointConfigError
+
+    ck = str(tmp_path / "ns.ckpt")
+    key = jax.random.PRNGKey(3)
+    kw = dict(n_live=100, n_batch=8, n_chains=4, n_repeat=8)
+    run_nested(lnpost_v, prior_transform, 2, key, rng=5, max_iter=256,
+               checkpoint=ck, config_tag="data-hash-A", **kw)
+    with pytest.raises(CheckpointConfigError, match="different sampler configuration"):
+        run_nested(lnpost_v, prior_transform, 2, key, rng=5, checkpoint=ck,
+                   resume=True, config_tag="data-hash-B", **kw)
+
+
+def test_fit_multinest_overwrite_deletes_checkpoint(tmp_path):
+    """fit_multinest(resume=True, overwrite=True) must refit fresh — the
+    reference deletes the MultiNest chains files on refit/overwrite
+    (reference starmodel.py:775-777); resuming a stale terminal checkpoint
+    instead silently replays the old fit (ADVICE r4 medium)."""
+    from isochrones_tpu import get_ichrone
+    from isochrones_tpu.starmodel import SingleStarModel
+
+    iso = get_ichrone("synthetic")
+    pars = [350.0, 9.0, 0.0, 200.0, 0.1]
+    Teff, logg, _, mags = iso.interp_mag(pars, ["J", "K"])
+    model = SingleStarModel(
+        iso, Teff=(float(Teff), 100.0), logg=(float(logg), 0.1),
+        J=(float(np.asarray(mags)[0]), 0.02), K=(float(np.asarray(mags)[1]), 0.02),
+        parallax=(5.0, 0.05), name="ckpt-ow", directory=str(tmp_path),
+    )
+    ck = str(tmp_path / "m.ckpt")
+    kw = dict(n_live_points=60, max_iter=200, seed=1, checkpoint=ck,
+              n_batch=8, n_chains=4)
+    model.fit_multinest(**kw)
+    assert os.path.exists(ck)
+    mtime = os.path.getmtime(ck)
+
+    import isochrones_tpu.samplers.nested as nested
+
+    loads = []
+    orig_load = nested._ckpt_load
+    try:
+        nested._ckpt_load = lambda p, c: (loads.append(p), orig_load(p, c))[1]
+        model.fit_multinest(resume=True, overwrite=True, **kw)
+    finally:
+        nested._ckpt_load = orig_load
+    assert loads == []  # refit fresh: the stale checkpoint was deleted
+    assert os.path.getmtime(ck) > mtime  # and a new one written
+
+    # a changed seed refuses to resume the (new) checkpoint
+    from isochrones_tpu.samplers.nested import CheckpointConfigError
+
+    with pytest.raises(CheckpointConfigError):
+        model.fit_multinest(**{**kw, "seed": 2}, resume=True)
+
+
 def test_dynamic_resume_bitwise(tmp_path):
     """Interrupt a dynamic run at a thread-round boundary (via
     max_dynamic_rounds=1); resuming with the full round budget must

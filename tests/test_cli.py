@@ -38,11 +38,20 @@ def test_starfit_cli(star_folder):
 
 
 @pytest.mark.slow
-def test_starfit_cli_resume(star_folder):
+def test_starfit_cli_resume(star_folder, monkeypatch):
     """--resume writes the NS checkpoint under the model's chains basename
-    (the reference's MultiNest chains/* resume role) and a second --resume
-    run completes from it."""
+    (the reference's MultiNest chains/* resume role); --overwrite deletes
+    it and refits fresh (the reference deletes the chains files on
+    refit/overwrite — ADVICE r4: resuming a stale checkpoint under
+    --overwrite silently replayed the old posterior)."""
+    import isochrones_tpu.samplers.nested as nested
     from isochrones_tpu.cli.starfit import main
+
+    loads = []
+    orig_load = nested._ckpt_load
+    monkeypatch.setattr(
+        nested, "_ckpt_load", lambda p, c: (loads.append(p), orig_load(p, c))[1]
+    )
 
     args = [
         star_folder, "--models", "synthetic", "--n_live_points", "60",
@@ -53,11 +62,48 @@ def test_starfit_cli_resume(star_folder):
     chains = os.path.join(star_folder, "chains")
     ckpts = [f for f in os.listdir(chains) if f.endswith("checkpoint.pkl")]
     assert len(ckpts) == 1
-    # a rerun with --overwrite resumes from the (terminal) checkpoint and
-    # still produces a model file
+    assert loads == []  # nothing to resume from on the first run
+
+    # a rerun with --overwrite must REFIT (checkpoint deleted up front),
+    # not resume the terminal checkpoint of the completed fit
     rc = main(args + ["--overwrite"])
     assert rc == 0
+    assert loads == []
     assert os.path.exists(os.path.join(star_folder, "synthetic_starmodel_single.h5"))
+
+
+@pytest.mark.slow
+def test_starfit_cli_resume_continues_mid_run(star_folder, monkeypatch):
+    """Genuine preemption recovery through the CLI (ADVICE r4): a fit that
+    stopped at a small --max_iter hard cap leaves a mid-run checkpoint; if
+    the process dies before the h5 is saved, a --resume rerun with a larger
+    budget restores that state (not a fresh start) and completes."""
+    import isochrones_tpu.samplers.nested as nested
+    from isochrones_tpu.cli.starfit import main
+
+    loads = []
+    orig_load = nested._ckpt_load
+    monkeypatch.setattr(
+        nested, "_ckpt_load", lambda p, c: (loads.append(p), orig_load(p, c))[1]
+    )
+
+    base_args = [
+        star_folder, "--models", "synthetic", "--n_live_points", "60",
+        "--seed", "1", "--no_plots", "--resume",
+    ]
+    rc = main(base_args + ["--max_iter", "150"])
+    assert rc == 0
+    h5 = os.path.join(star_folder, "synthetic_starmodel_single.h5")
+    chains = os.path.join(star_folder, "chains")
+    ckpt = [f for f in os.listdir(chains) if f.endswith("checkpoint.pkl")]
+    assert len(ckpt) == 1
+    # simulate preemption between the last checkpoint write and the h5 save
+    os.remove(h5)
+
+    rc = main(base_args + ["--max_iter", "400"])
+    assert rc == 0
+    assert len(loads) == 1  # the rerun restored the mid-run checkpoint
+    assert os.path.exists(h5)
 
 
 def test_starfit_cli_resume_rejects_emcee(star_folder):
