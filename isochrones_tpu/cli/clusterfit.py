@@ -25,8 +25,12 @@ def main(argv=None):
     parser.add_argument("--name", default="")
     parser.add_argument("--halo_fraction", type=float, default=0.5)
     parser.add_argument("--max_iter", type=int, default=None)
-    parser.add_argument("--dynamic", action="store_true",
-                        help="dynamic NS: posterior threads reach the ESS target cheaper")
+    parser.add_argument("--dynamic", action="store_true", default=None,
+                        help="dynamic NS (the default for cluster fits: the marginal is "
+                             "expensive per call, so the thread call-saving is real "
+                             "wall-clock); --static forces classic static NS")
+    parser.add_argument("--static", action="store_false", dest="dynamic",
+                        help="force static nested sampling")
     parser.add_argument("--min_ess", type=float, default=None)
     parser.add_argument("--eep-step", type=float, default=1.0,
                         help="EEP-ladder spacing for the marginalization; <1 resolves "

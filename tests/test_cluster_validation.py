@@ -154,3 +154,46 @@ def test_eep_step_resolves_single_peaks(iso):
         )
         lnl[step] = float(m.lnlike(p))
     assert lnl[0.5] > lnl[1.0] + 5.0, lnl
+
+
+@pytest.mark.slow
+def test_cluster_nested_fit_dynamic_default_recovers(iso, monkeypatch):
+    """The NS driver path (`model.fit()` -> fit_multinest), which now
+    defaults to DYNAMIC nested sampling for cluster models (VERDICT r4 #8),
+    recovers the simulation truth: the central 95% interval brackets every
+    identifiable shared parameter, and the result really ran the dynamic
+    machinery."""
+    import isochrones_tpu.samplers.nested as nested
+
+    captured = {}
+    orig = nested.run_nested
+    monkeypatch.setattr(
+        nested, "run_nested",
+        lambda *a, **kw: (captured.update(kw), orig(*a, **kw))[1],
+    )
+    # much smaller than the MCMC fixture: the dynamic-NS cluster fit is the
+    # most expensive slow-tier path on a single CPU core (48 stars x 90-EEP
+    # exceeded 50 min; 20 stars still did) — 10 stars on a 60-EEP ladder
+    # keeps the same machinery tractable
+    sim = SimulatedCluster(
+        10, ic=iso, **TRUTH, rng=11, bands=("J", "H", "K"),
+        mass_range=(0.6, 1.4), phot_unc=0.08, distance_scatter=0.0,
+    )
+    model = StarClusterModel(
+        iso, sim, eep_bounds=(1, 60), max_distance=2000, minq=0.2,
+        max_AV=0.3, mass_bounds=(0.6, 1.4), q_jacobian=True,
+    )
+    model.set_prior(feh=FlatPrior((-0.5, 0.5)))
+    p_true = np.array([TRUTH[k] for k in model.param_names])
+    assert np.isfinite(model.lnlike(p_true))  # truth inside ladder support
+    res = model.fit(n_live_points=100, seed=3, min_ess=250)
+    assert captured.get("dynamic") is True  # the dynamic default took effect
+    assert np.isfinite(res.logz)
+    assert res.ess >= 250
+    df = model.samples
+    missed = {}
+    for k in SHARED:
+        q02, q98 = np.percentile(df[k].values, [2, 98])
+        if not (q02 <= TRUTH[k] <= q98):
+            missed[k] = (q02, TRUTH[k], q98)
+    assert not missed, f"95% interval misses truth: {missed}"
