@@ -135,7 +135,7 @@ class BatchStarFitter:
         ic = self.ic
         io = tuple(ic._param_index_order)
         pack6 = ic.model_packed6
-        bc = ic.bc
+        bc = getattr(ic, "bc_paired", None) or ic.bc
         band_icols = tuple(bc.column_index[b] for b in self.bands)
         priors = self.priors
         eep_lo, eep_hi = self.eep_bounds
@@ -157,12 +157,13 @@ class BatchStarFitter:
             grid_pts = jnp.stack([user[io[0]], user[io[1]], user[io[2]]], axis=-1)
             vals6 = interp_nd(
                 pack6.values, pack6.knots, grid_pts, icols=(0, 1, 2, 3, 4, 5),
-                axis_maps=pack6.axis_maps,
+                axis_maps=pack6.axis_maps, paired=pack6.paired,
             )  # (S, B, 6)
             Teff, logg, feh_m, mbol, orig_val, deriv = (vals6[..., i] for i in range(6))
 
             bc_pts = jnp.stack([Teff, logg, feh_m, pars[..., 4]], axis=-1)
-            bc_vals = interp_nd(bc.values, bc.knots, bc_pts, icols=band_icols, axis_maps=bc.axis_maps)
+            bc_vals = interp_nd(bc.values, bc.knots, bc_pts, icols=band_icols,
+                                axis_maps=bc.axis_maps, paired=bc.paired)
             dist_mod = 5.0 * jnp.log10(pars[..., 3] / 10.0)
             mags = mbol[..., None] + dist_mod[..., None] - bc_vals  # (S, B, nb)
 

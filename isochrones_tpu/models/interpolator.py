@@ -190,21 +190,47 @@ class ModelGridInterpolator:
 
         # Packed copy of the 4 hot columns: interp_mag gathers 2^3 corner rows
         # per point; with (Teff, logg, feh, Mbol) contiguous each gather is one
-        # 16-byte row instead of 4 scattered column reads (gathers are the
-        # bottleneck of the fused lnpost).
+        # row read instead of 4 scattered column reads. Additionally PAIRED
+        # along the innermost (EEP) axis (pair_innermost_columns): each row
+        # carries both EEP corners, halving the gather count — the fused
+        # lnpost is bound by random-row gather latency on TPU
+        # (docs/tpu_design_notes.md, roofline section).
+        import os
+
         import jax.numpy as jnp
 
+        from ..ops.interp import pair_innermost_columns
+
+        can_pair = (
+            model.values.shape[-2] >= 2
+            and os.environ.get("ISOTPU_PAIR_GRIDS", "1") not in ("0", "false")
+        )
         if model.host_values is not None:
             packed_np = np.ascontiguousarray(model.host_values[..., list(self._model_icols)])
-            packed = jnp.asarray(packed_np)
         else:
-            packed_np = None
-            packed = model.values[..., jnp.asarray(self._model_icols)]
+            packed_np = np.asarray(model.values[..., jnp.asarray(self._model_icols)])
+        if can_pair:
+            packed_np = np.ascontiguousarray(pair_innermost_columns(packed_np))
         self.model_packed = GridData(
-            values=packed, knots=model.knots, columns=("Teff", "logg", "feh", "Mbol"),
-            host_values=packed_np, axis_maps=model.axis_maps,
+            values=jnp.asarray(packed_np), knots=model.knots,
+            columns=("Teff", "logg", "feh", "Mbol"),
+            host_values=packed_np, axis_maps=model.axis_maps, paired=can_pair,
         )
         self._packed_icols = (0, 1, 2, 3)
+
+        # paired copy of the BC table for the hot kernels (AV is the
+        # innermost axis); the general-API ``self.bc`` stays unpaired
+        self.bc_paired = None
+        if can_pair and bc.values.shape[-2] >= 2:
+            if bc.host_values is not None:
+                bc_np = bc.host_values
+            else:
+                bc_np = np.asarray(bc.values)
+            bc_np = np.ascontiguousarray(pair_innermost_columns(bc_np))
+            self.bc_paired = GridData(
+                values=jnp.asarray(bc_np), knots=bc.knots, columns=bc.columns,
+                host_values=bc_np, axis_maps=bc.axis_maps, paired=True,
+            )
 
         # 6-column variant additionally packing the EEP-prior change-of-
         # variables columns (orig quantity + its d/dEEP derivative), so a
@@ -223,14 +249,17 @@ class ModelGridInterpolator:
             icols6 = self._model_icols + prior_cols
             if model.host_values is not None:
                 p6_np = np.ascontiguousarray(model.host_values[..., list(icols6)])
-                p6 = jnp.asarray(p6_np)
             else:
-                p6_np = None
-                p6 = model.values[..., jnp.asarray(icols6)]
+                p6_np = np.asarray(model.values[..., jnp.asarray(icols6)])
+            # NOT paired: measured on v5e, pairing the 6-column table (48 B
+            # rows, 2x the HBM footprint) made the fused lnpost 21% SLOWER —
+            # the larger working set costs more row-miss latency than the
+            # halved gather count saves. Pairing only pays for narrow rows
+            # (the 4-col pack and the BC table). docs/tpu_design_notes.md.
             self.model_packed6 = GridData(
-                values=p6, knots=model.knots,
+                values=jnp.asarray(p6_np), knots=model.knots,
                 columns=("Teff", "logg", "feh", "Mbol") + prior_names,
-                host_values=p6_np, axis_maps=model.axis_maps,
+                host_values=p6_np, axis_maps=model.axis_maps, paired=False,
             )
 
     # ------------------------------------------------------------------ limits

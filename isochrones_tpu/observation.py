@@ -1230,9 +1230,9 @@ def make_tree_lnlike(plan: TreePlan):
     from .ops.mags import interp_mag
 
     ic = plan.ic
-    model = ic.model_packed  # hot columns packed contiguously
+    model = ic.model_packed  # hot columns packed contiguously (+EEP-paired)
     full_model = ic.model
-    bc = ic.bc
+    bc = getattr(ic, "bc_paired", None) or ic.bc
     index_order = tuple(ic._param_index_order)
     model_icols = ic._packed_icols
     has_density = (len(plan.spec_prop) and (plan.spec_prop == 3).any()) or (

@@ -35,6 +35,7 @@ __all__ = [
     "find_cells_1d",
     "interp_nd",
     "corner_data",
+    "pair_innermost_columns",
     "GridInterpolator",
     "REFERENCE_DEVIATIONS",
 ]
@@ -88,14 +89,20 @@ class GridData:
     # feh, age ladders) reduce to one multiply+floor. Computed from host
     # knots at construction (see :func:`compute_axis_maps`).
     axis_maps: Optional[Tuple] = None
+    # ``values`` was packed by :func:`pair_innermost_columns` (innermost
+    # axis has n_k - 1 rows, columns doubled): interp consumers must pass
+    # ``paired=True`` to :func:`interp_nd`. ``columns`` keeps the LOGICAL
+    # (undoubled) names.
+    paired: bool = False
 
     def tree_flatten(self):
-        return (self.values, self.knots), (self.columns, self.axis_maps)
+        return (self.values, self.knots), (self.columns, self.axis_maps, self.paired)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         values, knots = children
-        return cls(values=values, knots=knots, columns=aux[0], axis_maps=aux[1])
+        return cls(values=values, knots=knots, columns=aux[0], axis_maps=aux[1],
+                   paired=aux[2] if len(aux) > 2 else False)
 
     @property
     def ndim_grid(self) -> int:
@@ -103,7 +110,7 @@ class GridData:
 
     @property
     def n_columns(self) -> int:
-        return self.values.shape[-1]
+        return self.values.shape[-1] // 2 if self.paired else self.values.shape[-1]
 
     @property
     def column_index(self):
@@ -122,6 +129,7 @@ class GridData:
             columns=self.columns,
             host_values=None if self.host_values is None else self.host_values.astype(dtype),
             axis_maps=self.axis_maps,
+            paired=self.paired,
         )
 
 
@@ -318,12 +326,168 @@ def corner_data(
     return corners, weights, bad
 
 
+def _interp_nd_block(values, knots, points, icols, axis_maps):
+    """Block-gather interpolation path: ONE ``lax.gather`` fetches each
+    point's full ``(2,)*ndim`` corner neighborhood (the corners are adjacent
+    along the innermost axis, so the slice coalesces), then the lerp is a
+    sequential per-dim contraction — replacing the ``2**ndim`` independent
+    row-gathers of :func:`corner_data`. NOT the default anywhere: measured
+    ~34x SLOWER on v5e, where a multi-dimensional-slice gather falls off
+    XLA's fast single-axis gather path (docs/tpu_design_notes.md, roofline
+    section). Retained behind ``block=True`` / ISOTPU_INTERP_BLOCK=1 as the
+    measured record of that design point.
+
+    Semantics are IDENTICAL to the corner_data path, including IEEE
+    ``0 * NaN`` poisoning by weight-0 neighbors at interior exact-knot
+    matches, and the top-knot clamp (REFERENCE_DEVIATIONS): an exact
+    top-knot hit in dim d SELECTS the upper block row instead of lerping,
+    so the (possibly NaN) row below cannot poison it.
+    """
+    ndim = len(knots)
+    dims = values.shape[:-1]
+    ncols = values.shape[-1]
+
+    cells, ts, tops = [], [], []
+    bad = jnp.any(jnp.isnan(points), axis=-1)
+    for d in range(ndim):
+        amap = axis_maps[d] if axis_maps is not None else None
+        cell, t, oob = find_cells_1d(knots[d], points[..., d], axis_map=amap)
+        bad = bad | oob
+        # exact-top pin returns cell = n-1 (both corners clamped); the block
+        # starts one row lower and SELECTS its upper row in that dim
+        tops.append(cell == dims[d] - 1)
+        cells.append(jnp.clip(cell, 0, max(dims[d] - 2, 0)))
+        ts.append(t)
+
+    if icols is not None and tuple(icols) != tuple(range(ncols)):
+        values = values[..., np.asarray(icols, dtype=np.int64)]
+        ncols = len(icols)
+
+    starts = jnp.stack(cells, axis=-1)  # (B, ndim)
+    block = jax.lax.gather(
+        values,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=tuple(range(1, ndim + 2)),
+            collapsed_slice_dims=(),
+            start_index_map=tuple(range(ndim)),
+        ),
+        slice_sizes=(2,) * ndim + (ncols,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (B, 2, ..., 2, C)
+
+    dt = points.dtype
+    out = block.astype(dt)
+    for d in range(ndim):
+        lo = out[:, 0]
+        hi = out[:, 1]
+        t = ts[d].reshape(ts[d].shape + (1,) * (out.ndim - 2))
+        top = tops[d].reshape(tops[d].shape + (1,) * (out.ndim - 2))
+        out = jnp.where(top, hi, (1.0 - t) * lo + t * hi)
+    return jnp.where(bad[:, None], jnp.full_like(out, jnp.nan), out)
+
+
+def pair_innermost_columns(values: np.ndarray) -> np.ndarray:
+    """Pre-pair adjacent innermost-axis rows into doubled columns:
+
+        out[..., e, :C] = values[..., e, :]
+        out[..., e, C:] = values[..., e + 1, :]     (out has n_k - 1 rows)
+
+    Feeds :func:`interp_nd` ``paired=True`` — the per-point corner fetch
+    along the innermost axis (the EEP ladder / the BC AV axis) becomes ONE
+    row gather instead of two. The fused lnpost kernel is bound by
+    random-row gather latency on TPU (docs/tpu_design_notes.md, roofline
+    section), so halving the gather count is the direct lever. Costs one
+    extra copy of the packed table in HBM.
+    """
+    return np.concatenate([values[..., :-1, :], values[..., 1:, :]], axis=-1)
+
+
+def _interp_nd_paired(values, knots, points, icols, axis_maps):
+    """Gather path for :func:`pair_innermost_columns`-packed tables:
+    ``2**(ndim-1)`` row gathers per point (corners of the OUTER dims), each
+    fetching both innermost-axis corners at once, then the innermost lerp
+    selects/blends the two column halves. Semantics identical to the
+    row-gather path: interior exact-knot matches keep IEEE ``0 * NaN``
+    poisoning by the weight-0 neighbor; an exact TOP-knot hit on the
+    innermost axis SELECTS the upper half (the clamp in
+    REFERENCE_DEVIATIONS), and other axes clamp corners as usual."""
+    ndim = len(knots)
+    dims = tuple(int(k.shape[0]) for k in knots)
+    C2 = values.shape[-1]
+    C = C2 // 2
+    assert values.shape[:-1] == tuple(dims[:-1]) + (dims[-1] - 1,), (
+        "paired values must have n_k - 1 innermost rows"
+    )
+    if C == 0 or (icols is not None and len(icols) == 0):
+        # zero-band models interp an empty column set (e.g. spectroscopy-
+        # only star_lnlike); nothing to gather
+        return jnp.zeros(points.shape[:-1] + (0,), dtype=points.dtype)
+
+    cells, ts = [], []
+    bad = jnp.any(jnp.isnan(points), axis=-1)
+    for d in range(ndim):
+        amap = axis_maps[d] if axis_maps is not None else None
+        cell, t, oob = find_cells_1d(knots[d], points[..., d], axis_map=amap)
+        bad = bad | oob
+        cells.append(cell)
+        ts.append(t)
+
+    if icols is not None and tuple(icols) != tuple(range(C)):
+        sel = list(icols) + [i + C for i in icols]
+        values = values[..., np.asarray(sel, dtype=np.int64)]
+        C = len(icols)
+
+    nk = dims[-1]
+    top_k = cells[-1] == nk - 1  # exact top-knot pin (find_cells_1d)
+    cell_k = jnp.clip(cells[-1], 0, max(nk - 2, 0))
+
+    pdims = tuple(dims[:-1]) + (nk - 1,)
+    strides = np.ones(ndim, dtype=np.int64)
+    for d in range(ndim - 2, -1, -1):
+        strides[d] = strides[d + 1] * pdims[d + 1]
+
+    flat_vals = values.reshape(-1, 2 * C)
+    n_outer = 2 ** (ndim - 1)
+    offsets = np.stack(
+        [[(i >> (ndim - 2 - j)) & 1 for j in range(ndim - 1)] for i in range(n_outer)]
+    ) if ndim > 1 else np.zeros((1, 0), dtype=np.int64)
+
+    dt = points.dtype
+    corner_w = []
+    corner_idx = []
+    base_k = cell_k.astype(jnp.int32) * np.int32(strides[ndim - 1])
+    for i in range(n_outer):
+        w = jnp.ones(points.shape[:-1], dtype=dt)
+        idx = base_k
+        for d in range(ndim - 1):
+            o = int(offsets[i, d])
+            w = w * (ts[d] if o else (1.0 - ts[d]))
+            cd = jnp.clip(cells[d] + o, 0, dims[d] - 1)
+            idx = idx + cd.astype(jnp.int32) * np.int32(strides[d])
+        corner_w.append(w)
+        corner_idx.append(idx)
+
+    weights = jnp.stack(corner_w, axis=-1)  # (B, 2^(ndim-1))
+    flat_idx = jnp.stack(corner_idx, axis=-1)
+    pairs = jnp.take(flat_vals, flat_idx, axis=0)  # (B, 2^(ndim-1), 2C)
+    lo = pairs[..., :C].astype(dt)
+    hi = pairs[..., C:].astype(dt)
+    tk = ts[-1][:, None, None]
+    blend = (1.0 - tk) * lo + tk * hi
+    corners = jnp.where(top_k[:, None, None], hi, blend)
+    out = jnp.einsum("bj,bjc->bc", weights, corners)
+    return jnp.where(bad[:, None], jnp.full_like(out, jnp.nan), out)
+
+
 def interp_nd(
     values: jnp.ndarray,
     knots: Sequence[jnp.ndarray],
     points: jnp.ndarray,
     icols: Optional[Tuple[int, ...]] = None,
     axis_maps: Optional[Tuple] = None,
+    block: Optional[bool] = None,
+    paired: bool = False,
 ) -> jnp.ndarray:
     """Batched multilinear interpolation on a dense rectilinear grid.
 
@@ -335,14 +499,39 @@ def interp_nd(
     points : (..., ndim) query coordinates
     icols  : static tuple of column indices (None = all columns)
     axis_maps : static per-axis analytic index maps (compute_axis_maps)
+    block : gather strategy — True: one block gather of the ``(2,)*ndim``
+        corner neighborhood per point + per-dim contraction; False
+        (default): 2**ndim independent row gathers + einsum. MEASURED on
+        v5e (docs/tpu_design_notes.md roofline section): the block gather's
+        multi-dimensional slice hits XLA's slow gather lowering and is ~34x
+        SLOWER than independent row gathers (90k vs 3.0M fused-lnpost
+        evals/s) — row gathers ride the hardware's fast single-axis gather
+        path. Kept as an option because the semantics survey (one fetch per
+        point) documents the design space; env ISOTPU_INTERP_BLOCK=1
+        force-enables for measurement.
+
+    paired : ``values`` was packed by :func:`pair_innermost_columns`
+        (shape ``(n0..n_{k-1}, n_k - 1, 2C)``): fetch both innermost-axis
+        corners per row gather — half the gathers of the row path, which
+        is the measured bound of the fused lnpost kernel on TPU.
 
     Returns (..., n_icols); NaN rows for NaN/out-of-bounds queries.
     """
     batch_shape = points.shape[:-1]
     pts = points.reshape(-1, points.shape[-1])
-    corners, weights, bad = corner_data(values, knots, pts, icols=icols, axis_maps=axis_maps)
-    out = jnp.einsum("bj,bjc->bc", weights, corners.astype(weights.dtype))
-    out = jnp.where(bad[:, None], jnp.full_like(out, jnp.nan), out)
+    if paired:
+        out = _interp_nd_paired(values, knots, pts, icols, axis_maps)
+        return out.reshape(batch_shape + (out.shape[-1],))
+    if block is None:
+        import os
+
+        block = os.environ.get("ISOTPU_INTERP_BLOCK", "") in ("1", "true")
+    if block and all(d >= 2 for d in values.shape[:-1]):
+        out = _interp_nd_block(values, knots, pts, icols, axis_maps)
+    else:
+        corners, weights, bad = corner_data(values, knots, pts, icols=icols, axis_maps=axis_maps)
+        out = jnp.einsum("bj,bjc->bc", weights, corners.astype(weights.dtype))
+        out = jnp.where(bad[:, None], jnp.full_like(out, jnp.nan), out)
     n_out = out.shape[-1]
     return out.reshape(batch_shape + (n_out,))
 

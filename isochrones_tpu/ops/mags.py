@@ -48,7 +48,8 @@ def interp_mag(
         index_order[4],
     )
     grid_pts = jnp.stack([params[..., i0], params[..., i1], params[..., i2]], axis=-1)
-    star_props = interp_nd(model.values, model.knots, grid_pts, icols=tuple(model_icols), axis_maps=model.axis_maps)
+    star_props = interp_nd(model.values, model.knots, grid_pts, icols=tuple(model_icols),
+                           axis_maps=model.axis_maps, paired=getattr(model, "paired", False))
     Teff = star_props[..., 0]
     logg = star_props[..., 1]
     feh = star_props[..., 2]
@@ -56,7 +57,8 @@ def interp_mag(
 
     AV = params[..., i_av]
     bc_pts = jnp.stack([Teff, logg, feh, AV], axis=-1)
-    bc_vals = interp_nd(bc.values, bc.knots, bc_pts, icols=tuple(bc_icols), axis_maps=bc.axis_maps)
+    bc_vals = interp_nd(bc.values, bc.knots, bc_pts, icols=tuple(bc_icols),
+                        axis_maps=bc.axis_maps, paired=getattr(bc, "paired", False))
 
     dist_mod = 5.0 * jnp.log10(params[..., i_dist] / 10.0)
     mags = mbol[..., None] + dist_mod[..., None] - bc_vals

@@ -163,3 +163,113 @@ def test_npz_cache_roundtrip(tmp_path):
     interp2 = GridInterpolator(df, filename=fn)
     pt = [1.77, -0.33, 8.2]
     np.testing.assert_array_equal(interp1(pt), interp2(pt))
+
+
+class TestBlockGatherParity:
+    """The block-gather path (one lax.gather of the (2,)*ndim corner
+    neighborhood per point — the TPU default; docs/tpu_design_notes.md
+    roofline section) must be BITWISE identical to the row-gather path,
+    which is itself oracle-pinned (tests/test_oracle_parity.py): NaN holes,
+    weight-0 poisoning, exact interior knots, the top-knot clamp, OOB."""
+
+    @pytest.mark.parametrize("ndim", [2, 3, 4])
+    def test_randomized_with_nan_holes(self, ndim):
+        rng = np.random.RandomState(10 + ndim)
+        dims = [5, 7, 4, 6][:ndim]
+        knots = [np.sort(rng.uniform(0, 10, n)) for n in dims]
+        vals = rng.normal(size=tuple(dims) + (3,))
+        vals[(rng.random(tuple(dims)) < 0.15)] = np.nan  # holes
+        kn = tuple(jnp.asarray(k) for k in knots)
+        v = jnp.asarray(vals)
+
+        B = 500
+        pts = np.stack([rng.uniform(k[0] - 1, k[-1] + 1, B) for k in knots], axis=-1)
+        # adversarial coverage: exact interior knots, exact top knots, NaNs
+        for b in range(0, 60, 3):
+            d = b % ndim
+            pts[b, d] = knots[d][rng.randint(len(knots[d]))]
+            pts[b + 1, d] = knots[d][-1]
+            pts[b + 2, d] = np.nan
+        p = jnp.asarray(pts)
+
+        row = np.asarray(interp_nd(v, kn, p, block=False))
+        blk = np.asarray(interp_nd(v, kn, p, block=True))
+        # identical NaN pattern (holes/OOB/weight-0 poisoning semantics);
+        # values agree to contraction-order rounding (the block path lerps
+        # per-dim sequentially; the row path sums weight products — a
+        # ~1e-15 relative difference, far below f32 resolution on TPU)
+        np.testing.assert_array_equal(np.isnan(row), np.isnan(blk))
+        m = np.isfinite(row)
+        np.testing.assert_allclose(blk[m], row[m], rtol=1e-12, atol=1e-14)
+
+    def test_icols_and_axis_maps(self):
+        from isochrones_tpu.ops.interp import compute_axis_maps
+
+        rng = np.random.RandomState(3)
+        knots = [np.arange(0.0, 15.0), np.linspace(-1, 1, 21)]  # exact_affine axes
+        vals = rng.normal(size=(15, 21, 4))
+        amaps = compute_axis_maps(knots)
+        kn = tuple(jnp.asarray(k) for k in knots)
+        v = jnp.asarray(vals)
+        B = 200
+        pts = np.stack([rng.uniform(k[0], k[-1], B) for k in knots], axis=-1)
+        pts[0] = [knots[0][-1], knots[1][-1]]  # both-dim top corner
+        p = jnp.asarray(pts)
+        row = np.asarray(interp_nd(v, kn, p, icols=(2, 0), axis_maps=amaps, block=False))
+        blk = np.asarray(interp_nd(v, kn, p, icols=(2, 0), axis_maps=amaps, block=True))
+        np.testing.assert_allclose(blk, row, rtol=1e-12, atol=1e-14)
+        # exact-value (not approximate) top-corner clamp
+        np.testing.assert_array_equal(blk[0], vals[-1, -1][[2, 0]])
+
+
+class TestPairedGatherParity:
+    """The EEP-paired gather path (pair_innermost_columns + paired=True —
+    what the packed hot-kernel tables use; halves gather count on TPU,
+    docs/tpu_design_notes.md roofline section) must match the row path:
+    NaN pattern exactly, values to fp-association rounding."""
+
+    @pytest.mark.parametrize("ndim", [2, 3, 4])
+    def test_randomized_with_nan_holes(self, ndim):
+        from isochrones_tpu.ops.interp import pair_innermost_columns
+
+        rng = np.random.RandomState(20 + ndim)
+        dims = [6, 5, 7, 9][:ndim]
+        knots = [np.sort(rng.uniform(0, 10, n)) for n in dims]
+        vals = rng.normal(size=tuple(dims) + (3,))
+        vals[(rng.random(tuple(dims)) < 0.15)] = np.nan
+        kn = tuple(jnp.asarray(k) for k in knots)
+        v = jnp.asarray(vals)
+        vp = jnp.asarray(pair_innermost_columns(vals))
+
+        B = 400
+        pts = np.stack([rng.uniform(k[0] - 1, k[-1] + 1, B) for k in knots], axis=-1)
+        for b in range(0, 60, 3):  # exact knots / top knots / NaNs
+            d = b % ndim
+            pts[b, d] = knots[d][rng.randint(len(knots[d]))]
+            pts[b + 1, d] = knots[d][-1]
+            pts[b + 2, d] = np.nan
+        pts[70] = [k[-1] for k in knots]  # all-top corner
+        p = jnp.asarray(pts)
+
+        row = np.asarray(interp_nd(v, kn, p, block=False))
+        par = np.asarray(interp_nd(vp, kn, p, paired=True))
+        np.testing.assert_array_equal(np.isnan(row), np.isnan(par))
+        m = np.isfinite(row)
+        np.testing.assert_allclose(par[m], row[m], rtol=1e-12, atol=1e-14)
+
+    def test_icols_subset(self):
+        from isochrones_tpu.ops.interp import compute_axis_maps, pair_innermost_columns
+
+        rng = np.random.RandomState(5)
+        knots = [np.linspace(0, 1, 8), np.arange(0.0, 30.0)]  # exact_affine inner
+        vals = rng.normal(size=(8, 30, 5))
+        amaps = compute_axis_maps(knots)
+        kn = tuple(jnp.asarray(k) for k in knots)
+        vp = jnp.asarray(pair_innermost_columns(vals))
+        B = 300
+        pts = np.stack([rng.uniform(k[0], k[-1], B) for k in knots], axis=-1)
+        pts[0, 1] = knots[1][-1]  # top knot on the paired axis
+        p = jnp.asarray(pts)
+        row = np.asarray(interp_nd(jnp.asarray(vals), kn, p, icols=(4, 1), axis_maps=amaps, block=False))
+        par = np.asarray(interp_nd(vp, kn, p, icols=(4, 1), axis_maps=amaps, paired=True))
+        np.testing.assert_allclose(par, row, rtol=1e-12, atol=1e-14)
