@@ -1076,7 +1076,10 @@ def main():
     b.run("catalog batch fit throughput", b.bench_catalog_fit, est_s=130)
     b.run("end-to-end cluster fit", b.bench_cluster_fit, est_s=340)
     b.run("end-to-end ensemble-MCMC fit", b.bench_mcmc_fit, est_s=310)
-    b.run("end-to-end NUTS fit", b.bench_nuts_fit, est_s=260)
+    # NUTS wall-clock is high-variance (87-253 s warm across reps at the
+    # same config — adapted-step-size-driven tree depths; design-notes
+    # round-5 section); estimate for the worst measured case
+    b.run("end-to-end NUTS fit", b.bench_nuts_fit, est_s=500)
     b.run("cold-process nested fit", b.bench_cold_process, est_s=400)
 
     b.write_local(final=True)

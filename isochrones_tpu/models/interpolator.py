@@ -201,9 +201,15 @@ class ModelGridInterpolator:
 
         from ..ops.interp import pair_innermost_columns
 
+        # OPT-IN (ISOTPU_PAIR_GRIDS=1): pairing wins +6% on the FORWARD
+        # star_lnlike path but its reverse-mode cost is 2-6x per leapfrog —
+        # measured on v5e, the paired gather's backward dominated NUTS
+        # (131 s -> 253-821 s warm at identical chain statistics;
+        # docs/tpu_design_notes.md roofline section). Models are
+        # differentiated by fit_nuts, so unpaired is the safe default.
         can_pair = (
             model.values.shape[-2] >= 2
-            and os.environ.get("ISOTPU_PAIR_GRIDS", "1") not in ("0", "false")
+            and os.environ.get("ISOTPU_PAIR_GRIDS", "0") in ("1", "true")
         )
         if model.host_values is not None:
             packed_np = np.ascontiguousarray(model.host_values[..., list(self._model_icols)])
