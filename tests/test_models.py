@@ -188,3 +188,43 @@ def test_call_dataframe(track):
     assert isinstance(df, pd.DataFrame)
     assert len(df) == 1
     assert {"Teff", "logg", "mass", "J_mag"} <= set(df.columns)
+
+
+def test_pair_grids_opt_in_parity(monkeypatch):
+    """ISOTPU_PAIR_GRIDS=1 (the forward-only +6% gather option,
+    docs/tpu_design_notes.md roofline section) must build paired packed
+    tables that produce the same lnpost surface as the default unpaired
+    build (values to fp-association rounding; identical -inf pattern)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from isochrones_tpu import get_ichrone
+    from isochrones_tpu.starmodel import BinaryStarModel
+
+    def build(env):
+        monkeypatch.setenv("ISOTPU_PAIR_GRIDS", env)
+        iso = get_ichrone("synthetic", n_feh=5, n_mass=20, n_eep=60, n_age=20)
+        t = iso.interp_mag([30.0, 9.0, 0.0, 200.0, 0.1], ["J", "K"])
+        return BinaryStarModel(
+            iso, Teff=(float(t[0]), 100.0), J=(float(np.asarray(t[3])[0]), 0.02),
+            K=(float(np.asarray(t[3])[1]), 0.02), parallax=(5.0, 0.05),
+        )
+
+    m0 = build("0")
+    m1 = build("1")
+    assert m0.ic.model_packed.paired is False
+    assert m1.ic.model_packed.paired is True
+    assert m1.ic.bc_paired is not None and m1.ic.bc_paired.paired
+
+    rng = np.random.default_rng(0)
+    p = np.stack([
+        rng.uniform(5, 55, 300), rng.uniform(5, 55, 300),
+        rng.uniform(8.2, 9.8, 300), rng.uniform(-0.4, 0.4, 300),
+        rng.uniform(50, 400, 300), rng.uniform(0, 0.5, 300),
+    ], axis=-1)
+    a = np.asarray(m0.lnpost_batch(jnp.asarray(p)))
+    b = np.asarray(m1.lnpost_batch(jnp.asarray(p)))
+    np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+    f = np.isfinite(a)
+    np.testing.assert_allclose(b[f], a[f], rtol=1e-10, atol=1e-10)
