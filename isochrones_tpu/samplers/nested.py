@@ -330,6 +330,21 @@ def _ckpt_load(path, config):
     return state
 
 
+def _chunk_dead(n_live):
+    """Dead points accumulated per compiled chunk. Each chunk boundary pays
+    host<->device synchronization (several tunnel round trips at ~25 ms
+    each plus host bookkeeping); the flagship warm fit spends more time in
+    those boundaries than in likelihood evaluation (design notes: "NS
+    run-splitting is a wash"). The only cost of a larger chunk is
+    termination-granularity overshoot — at most one chunk of extra dead
+    points past the dlogz criterion. ISOTPU_NS_CHUNK_MULT scales it
+    (default 1; measured sweep in docs/tpu_design_notes.md)."""
+    import os
+
+    mult = float(os.environ.get("ISOTPU_NS_CHUNK_MULT", "1"))
+    return max(int(max(n_live, 256) * mult), 256)
+
+
 def _mesh_wrap_lnlike(lnlike_u, mesh):
     """Shard an NS likelihood fan-out's batch axis over ``mesh``'s first axis
     — the role MPI rank-parallel likelihood evaluation plays for MultiNest
@@ -632,7 +647,7 @@ def run_nested(
     # Chunked shrinkage with evidence-based termination: each chunk is one
     # compiled lax.scan (shape-stable -> compiled once); between chunks the
     # host checks whether the remaining live-point mass still matters.
-    chunk = max(n_live, 256)
+    chunk = _chunk_dead(n_live)
     chunk_steps = max(chunk // n_batch, 8)  # scan steps per compiled chunk
     core_fn = _nested_core if core is None else core
     running = _RunningEvidence(n_live, n_batch=n_batch)
@@ -977,7 +992,7 @@ def _run_nested_multi(
         scales = jnp.full((R,), 0.5, dtype=live_u.dtype)
         dead_u_chunks, dead_lnl_chunks = [], []
         n_dead_total = 0
-    chunk_steps = max(max(n_live, 256) // n_batch, 8)
+    chunk_steps = max(_chunk_dead(n_live) // n_batch, 8)
     done = np.zeros(R, dtype=bool)
 
     def _terminated():
@@ -1220,7 +1235,7 @@ def run_nested_vmapped(
         if resume and os.path.exists(checkpoint):
             state = _ckpt_load(checkpoint, ckpt_cfg)
 
-    chunk_steps = max(max(n_live, 256) // n_batch, 8)
+    chunk_steps = max(_chunk_dead(n_live) // n_batch, 8)
     running = _RunningEvidence(n_live, shape=(M,), n_batch=n_batch)
     if state is not None:
         dead_u_chunks = [state["dead_u"]]
