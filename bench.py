@@ -1049,7 +1049,20 @@ def main():
     from isochrones_tpu.config import enable_compile_cache
 
     enable_compile_cache()
-    b = Bench(t_start=t_start)
+    try:
+        b = Bench(t_start=t_start)
+    except Exception:
+        # fatal before any row (TPU attach failure, grid-build crash):
+        # still leave ONE parseable line + the cause on stderr, instead of
+        # a bare traceback the driver records as parsed:null
+        tb = traceback.format_exc()
+        print(tb, file=__import__("sys").stderr, flush=True)
+        print(json.dumps({
+            "metric": "binary-star fused lnpost throughput (setup failed)",
+            "value": 0.0, "unit": "evals/s/chip", "vs_baseline": 0.0,
+            "error": tb.splitlines()[-1], "suite_rows": 0,
+        }), flush=True)
+        raise SystemExit(1)
     # placeholder headline BEFORE the first row: even a timeout inside
     # bench 1 leaves one parseable stdout line (value 0 = nothing measured)
     print(json.dumps(b.headline()), flush=True)
