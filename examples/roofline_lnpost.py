@@ -4,8 +4,9 @@ Feeds the "Fused-lnpost roofline" section of docs/tpu_design_notes.md
 (VERDICT r4 ask #4: prove or break the ~3.0M evals/s plateau). Run ON THE
 REAL CHIP:
 
-    python examples/roofline_lnpost.py                 # block-gather (default)
-    ISOTPU_INTERP_BLOCK=0 python examples/roofline_lnpost.py   # row-gather
+    python examples/roofline_lnpost.py                         # row-gather (default)
+    ISOTPU_INTERP_BLOCK=1 python examples/roofline_lnpost.py   # block-gather probe
+    ISOTPU_PAIR_GRIDS=1  python examples/roofline_lnpost.py    # paired-rows probe
 
 Measures, at the bench-1 configuration (MIST-scale grids, batch 2^17,
 binary model, 4 bands + Teff/logg spectroscopy + parallax):

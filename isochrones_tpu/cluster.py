@@ -57,6 +57,17 @@ class StarClusterModel(BasicStarModel):
     #: (VERDICT r4 #8; override with fit(dynamic=False))
     _default_dynamic = True
 
+    def _config_data_repr(self):
+        """Cluster data lives in the StarCatalog, not ``self.kwargs`` —
+        hash the catalog table plus the marginalization geometry so a
+        --resume against changed member data/ladder refuses instead of
+        replaying the stale checkpoint (self-review r5)."""
+        return "|".join([
+            self.stars.df.to_csv(index=True),
+            repr((self._eep_bounds, self._mass_bounds, self.minq,
+                  self.eep_step, self.q_jacobian)),
+        ])
+
     def __init__(
         self,
         ic,

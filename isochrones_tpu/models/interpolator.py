@@ -213,12 +213,23 @@ class ModelGridInterpolator:
         )
         if model.host_values is not None:
             packed_np = np.ascontiguousarray(model.host_values[..., list(self._model_icols)])
+            if can_pair:
+                packed_np = np.ascontiguousarray(pair_innermost_columns(packed_np))
+            packed = jnp.asarray(packed_np)
+        elif can_pair:
+            # pairing needs a host pass; a full device->host readback of
+            # the grid is pathologically slow over the remote-TPU tunnel
+            # (see GridData.host_values) — pay it only for the opt-in
+            packed_np = np.ascontiguousarray(pair_innermost_columns(
+                np.asarray(model.values[..., jnp.asarray(self._model_icols)])
+            ))
+            packed = jnp.asarray(packed_np)
         else:
-            packed_np = np.asarray(model.values[..., jnp.asarray(self._model_icols)])
-        if can_pair:
-            packed_np = np.ascontiguousarray(pair_innermost_columns(packed_np))
+            # default path: subset on DEVICE, no host round trip
+            packed_np = None
+            packed = model.values[..., jnp.asarray(self._model_icols)]
         self.model_packed = GridData(
-            values=jnp.asarray(packed_np), knots=model.knots,
+            values=packed, knots=model.knots,
             columns=("Teff", "logg", "feh", "Mbol"),
             host_values=packed_np, axis_maps=model.axis_maps, paired=can_pair,
         )
@@ -255,15 +266,18 @@ class ModelGridInterpolator:
             icols6 = self._model_icols + prior_cols
             if model.host_values is not None:
                 p6_np = np.ascontiguousarray(model.host_values[..., list(icols6)])
+                p6 = jnp.asarray(p6_np)
             else:
-                p6_np = np.asarray(model.values[..., jnp.asarray(icols6)])
+                # subset on DEVICE (no host round trip; see model_packed)
+                p6_np = None
+                p6 = model.values[..., jnp.asarray(icols6)]
             # NOT paired: measured on v5e, pairing the 6-column table (48 B
             # rows, 2x the HBM footprint) made the fused lnpost 21% SLOWER —
             # the larger working set costs more row-miss latency than the
             # halved gather count saves. Pairing only pays for narrow rows
             # (the 4-col pack and the BC table). docs/tpu_design_notes.md.
             self.model_packed6 = GridData(
-                values=jnp.asarray(p6_np), knots=model.knots,
+                values=p6, knots=model.knots,
                 columns=("Teff", "logg", "feh", "Mbol") + prior_names,
                 host_values=p6_np, axis_maps=model.axis_maps, paired=False,
             )

@@ -146,6 +146,17 @@ def _cluster_kernel(n_bands, n_stars_tile, fluxj_ref, fluxk_ref, magsj_ref,
 _VMEM_CELL_BUDGET = 140_000
 
 
+def _plan_k_tiles(E, TJ):
+    """(n_k_tiles, TK) for ladder length ``E`` at j-tile ``TJ``: balanced
+    128-aligned k tiles with TJ*TK under the measured VMEM cell budget.
+    Shared by the kernel wrapper and its regression test so the planning
+    arithmetic cannot drift apart."""
+    tk_max = max(128, (_VMEM_CELL_BUDGET // TJ) // 128 * 128)
+    nkb = -(-_round_up(E, 128) // tk_max)  # ceil division over k tiles
+    TK = _round_up(-(-_round_up(E, 128) // nkb), 128)  # balanced tiles
+    return nkb, TK
+
+
 @partial(jax.jit, static_argnames=("interpret", "tile_j", "tile_k", "q_jacobian"))
 def cluster_lnmarginal_pallas(
     lnlike_prop,  # (S, E) per-star property lnlike (may contain -inf/nan)
@@ -221,9 +232,7 @@ def cluster_lnmarginal_pallas(
     TS = 8
     Ejp = _round_up(E, TJ)
     if tile_k is None:
-        tk_max = max(128, (_VMEM_CELL_BUDGET // TJ) // 128 * 128)
-        nkb = -(-_round_up(E, 128) // tk_max)  # ceil division over k tiles
-        TK = _round_up(-(-_round_up(E, 128) // nkb), 128)  # balanced tiles
+        nkb, TK = _plan_k_tiles(E, TJ)
     else:
         TK = int(tile_k)
         nkb = -(-E // TK)

@@ -284,7 +284,11 @@ class _RunningEvidence:
         return self.log_s1, ess
 
 
-_CKPT_VERSION = 1
+# v2: config carries config_tag (problem hash) and chunk (dead points per
+# compiled chunk, env-dependent via ISOTPU_NS_CHUNK_MULT) — both affect
+# resume semantics, so v1 checkpoints refuse with a version message
+# instead of a misleading config-mismatch (self-review r5)
+_CKPT_VERSION = 2
 
 
 class CheckpointConfigError(ValueError):
@@ -630,7 +634,7 @@ def run_nested(
         ckpt_cfg = dict(
             version=_CKPT_VERSION, kind="single", n_params=int(n_params),
             n_live=int(n_live), n_batch=int(n_batch), n_chains=int(n_chains),
-            n_repeat=int(n_repeat),
+            n_repeat=int(n_repeat), chunk=int(_chunk_dead(n_live)),
             config_tag=None if config_tag is None else str(config_tag),
         )
         if resume and os.path.exists(checkpoint):
@@ -926,7 +930,7 @@ def _run_nested_multi(
         ckpt_cfg = dict(
             version=_CKPT_VERSION, kind="multi", n_params=int(n_params),
             n_live=int(n_live), n_batch=int(n_batch), n_chains=int(n_chains),
-            n_repeat=int(n_repeat), n_runs=R,
+            n_repeat=int(n_repeat), n_runs=R, chunk=int(_chunk_dead(n_live)),
             config_tag=None if config_tag is None else str(config_tag),
         )
         if resume and os.path.exists(checkpoint):
@@ -1230,6 +1234,7 @@ def run_nested_vmapped(
             version=_CKPT_VERSION, kind="vmapped", n_params=int(n_params),
             n_live=int(n_live), n_batch=int(n_batch), n_chains=int(n_chains),
             n_repeat=int(n_repeat), n_problems=int(M),
+            chunk=int(_chunk_dead(n_live)),
             config_tag=None if config_tag is None else str(config_tag),
         )
         if resume and os.path.exists(checkpoint):

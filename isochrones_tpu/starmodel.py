@@ -621,16 +621,23 @@ class BasicStarModel:
         return res.x
 
     # ----------------------------------------------------------------- fitting
+    def _config_data_repr(self):
+        """Stable textual representation of the OBSERVED DATA this model is
+        conditioned on; subclasses whose data lives outside ``self.kwargs``
+        (the tree model's observation tree, the cluster model's catalog)
+        override it so :meth:`_fit_config_hash` actually covers their data."""
+        return repr(sorted((k, float(v), float(u)) for k, (v, u) in self.kwargs.items()))
+
     def _fit_config_hash(self, seed=None):
-        """Stable hash of the fitted PROBLEM — observed (value, unc) pairs,
-        parameter list, per-parameter bounds, and the sampler seed — folded
-        into the NS checkpoint config (ADVICE r4: without it, a user who
-        edits star.ini or changes --seed and reruns with --resume silently
-        gets the old posterior replayed)."""
+        """Stable hash of the fitted PROBLEM — observed data
+        (:meth:`_config_data_repr`), parameter list, per-parameter bounds,
+        and the sampler seed — folded into the NS checkpoint config
+        (ADVICE r4: without it, a user who edits star.ini or changes --seed
+        and reruns with --resume silently gets the old posterior replayed)."""
         import hashlib
 
         parts = [
-            repr(sorted((k, float(v), float(u)) for k, (v, u) in self.kwargs.items())),
+            self._config_data_repr(),
             repr(list(self.param_names)),
             repr([tuple(float(b) for b in self.bounds(p)) for p in self.param_names]),
             repr(None if seed is None else int(seed)),

@@ -115,6 +115,17 @@ class StarModel(BasicStarModel):
     #: fit(dynamic=False))
     _default_dynamic = True
 
+    def _config_data_repr(self):
+        """Tree models keep their data in the observation tree, not
+        ``self.kwargs`` — hash the photometry table plus the spectroscopy/
+        parallax/limit attachments so a --resume against an edited star.ini
+        refuses instead of replaying the stale checkpoint (self-review r5:
+        the base-class hash covered none of it)."""
+        parts = [self.obs.to_df().to_csv(index=False)]
+        for attr in ("spectroscopy", "parallax", "limits"):
+            parts.append(repr(sorted(getattr(self.obs, attr, {}).items())))
+        return "|".join(parts)
+
     def __init__(
         self,
         ic,

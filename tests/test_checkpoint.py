@@ -248,3 +248,34 @@ def test_batch_fitter_checkpoint_roundtrip(tmp_path):
     res = f_res.fit_multinest(checkpoint=ck, resume=True, **kw)
     np.testing.assert_array_equal(full["logz"], res["logz"])
     np.testing.assert_array_equal(f_full.samples, f_res.samples)
+
+
+def test_config_hash_covers_tree_and_cluster_data():
+    """Tree and cluster models keep their data outside self.kwargs; the
+    checkpoint problem-hash must still change when that data changes
+    (self-review r5: the base-class hash gave identical tags for entirely
+    different observations, silently disabling the stale-resume guard)."""
+    from isochrones_tpu import get_ichrone
+    from isochrones_tpu.cluster import SimulatedCluster, StarClusterModel
+    from isochrones_tpu.treemodel import StarModel
+
+    iso = get_ichrone("synthetic", n_feh=5, n_mass=20, n_eep=60, n_age=20)
+
+    t1 = StarModel(iso, Teff=(6000.0, 100.0), J=(7.0, 0.02), parallax=(5.0, 0.05))
+    t2 = StarModel(iso, Teff=(5500.0, 100.0), J=(8.3, 0.02), parallax=(2.0, 0.05))
+    t1b = StarModel(iso, Teff=(6000.0, 100.0), J=(7.0, 0.02), parallax=(5.0, 0.05))
+    assert t1._fit_config_hash(0) != t2._fit_config_hash(0)
+    assert t1._fit_config_hash(0) == t1b._fit_config_hash(0)  # deterministic
+    assert t1._fit_config_hash(0) != t1._fit_config_hash(1)  # seed covered
+
+    def cluster(rng):
+        sim = SimulatedCluster(
+            6, age=9.0, feh=0.0, distance=300.0, AV=0.05, alpha=-2.0,
+            gamma=0.3, fB=0.3, bands=("J", "K"), mass_range=(0.6, 2.0),
+            ic=iso, rng=rng,
+        )
+        return StarClusterModel(iso, sim, eep_bounds=(1, 50), max_distance=2000)
+
+    c1, c2, c1b = cluster(0), cluster(3), cluster(0)
+    assert c1._fit_config_hash(0) != c2._fit_config_hash(0)
+    assert c1._fit_config_hash(0) == c1b._fit_config_hash(0)

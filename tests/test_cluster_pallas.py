@@ -103,23 +103,18 @@ def test_pallas_parity_k_tiled(tile_k):
 
 
 def test_pallas_auto_tile_k_splits_real_ladder():
-    """The auto budget must split k at the real MIST ladder (1710 -> two
-    896-wide tiles under the measured ~100 B/cell scope) and keep the
-    known-good 800-EEP configuration on a single tile."""
-    from isochrones_tpu.ops.cluster_pallas import _VMEM_CELL_BUDGET, _round_up
+    """The PRODUCTION auto-tile planner (the one the kernel wrapper calls)
+    must split k at the real MIST ladder (1710 -> two 896-wide tiles under
+    the measured ~100 B/cell scope) and keep the known-good 800-EEP
+    configuration on a single tile."""
+    from isochrones_tpu.ops.cluster_pallas import _VMEM_CELL_BUDGET, _plan_k_tiles
 
-    def plan(E, TJ=128):
-        tk_max = max(128, (_VMEM_CELL_BUDGET // TJ) // 128 * 128)
-        nkb = -(-_round_up(E, 128) // tk_max)
-        TK = _round_up(-(-_round_up(E, 128) // nkb), 128)
-        return nkb, TK
-
-    assert plan(1710) == (2, 896)
-    assert plan(800) == (1, 896)
-    assert plan(50) == (1, 128)
+    assert _plan_k_tiles(1710, 128) == (2, 896)
+    assert _plan_k_tiles(800, 128) == (1, 896)
+    assert _plan_k_tiles(50, 128) == (1, 128)
     # scoped cells stay under budget for any ladder up to 4x real MIST
     for E in (50, 800, 1710, 3000, 6840):
-        nkb, TK = plan(E)
+        nkb, TK = _plan_k_tiles(E, 128)
         assert 128 * TK <= max(_VMEM_CELL_BUDGET, 128 * 128)
         assert TK * nkb >= E
 
